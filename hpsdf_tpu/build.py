@@ -1,0 +1,392 @@
+"""Level-synchronous hp-adaptive octree construction.
+
+TPU-native redesign of the reference build path (SURVEY.md section 3.1;
+Source/HP/Octree.cpp:194-352, 558-659, 1007-1093):
+
+  reference                              this module
+  ---------------------------------     ---------------------------------
+  dynamic priority queue + thread        rounds: ALL nodes above the
+  pool popping max-error nodes           equidistribution threshold refine
+  (Octree.cpp:216-240)                   together, as one batched device op
+  per-node scalar (4d+1)^3 quadrature    separable Gauss-Legendre projection:
+  loop (Octree.cpp:1028-1056)            three axis contractions (matmuls)
+                                         over the whole frontier at once
+  100-sample Monte-Carlo nearness mean   exact cell mean c_000 * 2**(1.5*depth)
+  (Octree.cpp:1209-1247)                 (Legendre bases >0 have zero mean)
+  h/p decision per popped node           vectorized eqs (8)/(9) over the round
+  (Octree.cpp:594-601)
+
+Refinement-order semantics differ from the reference's greedy max-error-first
+queue: a round refines every leaf whose error exceeds target_error/n_leaves.
+If all leaves fall below that per-leaf share the total is below target, so
+the stopping criterion (total error < target, Octree.cpp:216) is met with the
+same tolerance guarantees; the round-synchronous schedule may refine slightly
+more nodes but each round is one fully-parallel device program instead of a
+mutex-guarded work queue.
+
+The topology (child indices, centres, depths) lives on host in numpy during
+construction -- it is tiny and mutates irregularly -- while every fit,
+error estimate and F evaluation runs batched on device.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import time
+from typing import Callable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import basis, consts
+from .config import Config, NearnessWeighting
+from .tree import Octree, pack
+
+# F signature: world points (K, 3) f64 -> (K,) f64, jax-traceable.
+SDFFn = Callable[[jax.Array], jax.Array]
+
+
+def _bucket(n: int, lo: int = 64) -> int:
+    """Round batch sizes up to powers of two to bound recompilation."""
+    return max(lo, 1 << (n - 1).bit_length())
+
+
+# --------------------------------------------------------------------------
+# Batched polynomial fitting (hot loop #1)
+# --------------------------------------------------------------------------
+
+def _fit_impl(F_int, nw: NearnessWeighting, nw_strength: float, degree: int,
+              prev_width: int, centres, depths, prev_coeffs):
+    """Fit degree-``degree`` bases to a batch of cells.
+
+    centres: (M, 3) internal unit-cube cell centres
+    depths : (M,)  int32
+    prev_coeffs: (M, prev_width) coeffs to retain verbatim (p-refinement
+      reuse, Octree.cpp:1011-1012,1025), or (M, 0).
+
+    Returns (coeffs (M, C), err (M,)) where err follows paper eq (6) with
+    optional nearness weighting eqs (11)/(12).
+    """
+    M = centres.shape[0]
+    x, w = basis.leggauss(basis.fit_rule_size(degree))
+    x = jnp.asarray(x)
+    half = jnp.exp2(-(depths.astype(centres.dtype) + 1.0))        # (M,)
+
+    # Tensor-product sample grid, built by broadcasting: (M, Q, Q, Q, 3)
+    gx = centres[:, 0, None] + half[:, None] * x                  # (M, Q)
+    gy = centres[:, 1, None] + half[:, None] * x
+    gz = centres[:, 2, None] + half[:, None] * x
+    px = jnp.broadcast_to(gx[:, :, None, None], (M,) + (x.size,) * 3)
+    py = jnp.broadcast_to(gy[:, None, :, None], (M,) + (x.size,) * 3)
+    pz = jnp.broadcast_to(gz[:, None, None, :], (M,) + (x.size,) * 3)
+    pts = jnp.stack([px, py, pz], axis=-1).reshape(-1, 3)
+
+    Fv = F_int(pts).reshape((M,) + (x.size,) * 3)
+
+    # Separable projection: A[p, q] = w_q L_p(x_q); three contractions.
+    A = jnp.asarray(basis.quadrature_matrix(degree))              # (P+1, Q)
+    T = jnp.einsum("mijk,pi->mpjk", Fv, A)
+    T = jnp.einsum("mpjk,qj->mpqk", T, A)
+    T = jnp.einsum("mpqk,rk->mpqr", T, A)
+
+    idx = basis.basis_indices(degree)                             # (C, 3)
+    raw = T[:, idx[:, 0], idx[:, 1], idx[:, 2]]                   # (M, C)
+    cn = jnp.asarray(basis.coeff_norms(degree))                   # (D+1, C)
+    vol = half ** 3                                               # aabbScalesMult
+    coeffs = raw * cn[depths] * vol[:, None]
+
+    if prev_width:
+        # p-refinement keeps previously fitted coefficients bit-exact
+        # (the reference only computes the new ones, Octree.cpp:1043).
+        coeffs = jnp.concatenate([prev_coeffs, coeffs[:, prev_width:]], axis=1)
+
+    # eq (6): error = sum of squared top-total-degree coefficients.
+    top = idx.sum(axis=1) == degree
+    err = jnp.sum(jnp.where(jnp.asarray(top)[None, :], coeffs**2, 0.0), axis=1)
+
+    if nw != NearnessWeighting.NONE:
+        # Exact cell mean of the approximation: only the constant basis
+        # function has nonzero mean, so fbar = c_000 * 2**(1.5*depth).
+        # Replaces the reference's 100-sample MC estimate
+        # (Octree.cpp:1209-1247) with the closed form.
+        fbar = jnp.abs(coeffs[:, 0]
+                       * jnp.exp2(1.5 * depths.astype(coeffs.dtype)))
+        d = math.sqrt(3.0)
+        if nw == NearnessWeighting.POLYNOMIAL:
+            k = jnp.clip((1.0 - fbar / d) ** nw_strength, 0.0, 1.0)
+        else:
+            k = jnp.exp(-nw_strength * fbar / d)
+        err = err * k
+
+    return coeffs, err
+
+
+class _FitCache:
+    """Per-build jit cache of _fit_impl, keyed by (degree, prev_width)."""
+
+    def __init__(self, F_int, cfg: Config):
+        self._F = F_int
+        self._cfg = cfg
+        self._jits: dict[tuple[int, int], Callable] = {}
+
+    def __call__(self, degree: int, centres: np.ndarray, depths: np.ndarray,
+                 prev: np.ndarray | None = None):
+        M = centres.shape[0]
+        Mb = _bucket(M)
+        pw = 0 if prev is None else prev.shape[1]
+        key = (degree, pw)
+        if key not in self._jits:
+            fn = functools.partial(_fit_impl, self._F,
+                                   self._cfg.nearness_weighting,
+                                   self._cfg.nearness_strength, degree, pw)
+            self._jits[key] = jax.jit(fn)
+        c = np.zeros((Mb, 3), np.float64)
+        d = np.zeros(Mb, np.int32)
+        c[:M] = centres
+        d[:M] = depths
+        p = np.zeros((Mb, pw), np.float64)
+        if pw:
+            p[:M] = prev
+        coeffs, err = self._jits[key](jnp.asarray(c), jnp.asarray(d),
+                                      jnp.asarray(p))
+        return np.asarray(coeffs)[:M], np.asarray(err)[:M]
+
+
+# --------------------------------------------------------------------------
+# Host-side topology + driver
+# --------------------------------------------------------------------------
+
+class _State:
+    """Growable host SoA mirror of the tree during construction."""
+
+    def __init__(self, cfg: Config, cap: int = 8192):
+        # the coarse stage alone needs sum(8^d, d=0..COARSE_DEPTH) nodes
+        min_cap = (8 ** (consts.COARSE_DEPTH + 1) - 1) // 7
+        if cfg.node_capacity < min_cap:
+            raise ValueError(
+                f"node_capacity={cfg.node_capacity} below the coarse-stage "
+                f"minimum of {min_cap}")
+        cap = min(cap, cfg.node_capacity)
+        self.cfg = cfg
+        self.cw = consts.coeff_count(cfg.max_degree)
+        self.child_idx = np.full(cap, consts.NO_CHILD, np.int32)
+        self.centre = np.zeros((cap, 3), np.float64)
+        self.depth = np.zeros(cap, np.int32)
+        self.degree = np.full(cap, consts.NO_BASIS, np.int32)
+        self.coeffs = np.zeros((cap, self.cw), np.float64)
+        self.err = np.zeros(cap, np.float64)
+        self.n = 0
+
+    def _grow(self, need: int):
+        cap = self.child_idx.shape[0]
+        if self.n + need <= cap:
+            return
+        if self.n + need > self.cfg.node_capacity:
+            raise RuntimeError(
+                f"octree exceeded node_capacity={self.cfg.node_capacity}; "
+                "raise Config.node_capacity or loosen target_error")
+        new_cap = cap
+        while new_cap < self.n + need:
+            new_cap *= 2
+        new_cap = min(new_cap, self.cfg.node_capacity)
+        for name in ("child_idx", "centre", "depth", "degree", "coeffs",
+                     "err"):
+            old = getattr(self, name)
+            new = np.zeros((new_cap,) + old.shape[1:], old.dtype)
+            new[:cap] = old
+            if name == "child_idx":
+                new[cap:] = consts.NO_CHILD
+            if name == "degree":
+                new[cap:] = consts.NO_BASIS
+            setattr(self, name, new)
+
+    def add_root(self):
+        self._grow(1)
+        self.centre[0] = 0.0
+        self.depth[0] = 0
+        self.n = 1
+
+    def subdivide(self, parents: np.ndarray) -> np.ndarray:
+        """Block-allocate 8 children per parent (reference: Octree.cpp:1115-1128).
+        Returns (K, 8) child index array."""
+        K = parents.shape[0]
+        self._grow(8 * K)
+        base = self.n + 8 * np.arange(K, dtype=np.int64)
+        self.child_idx[parents] = base.astype(np.int32)
+        kids = base[:, None] + np.arange(8)[None, :]
+        # child centre offsets: +/- quarter cell per axis, Morton-style bits
+        # (x = bit0, y = bit1, z = bit2) as in CornerAABB (Octree.cpp:1096-1112).
+        pd = self.depth[parents]
+        q = np.exp2(-(pd.astype(np.float64) + 2.0))               # quarter size
+        octs = np.arange(8)
+        sgn = np.stack([(octs & 1), (octs >> 1) & 1, (octs >> 2) & 1],
+                       axis=-1) * 2.0 - 1.0                       # (8, 3)
+        self.centre[kids.reshape(-1)] = (
+            self.centre[parents][:, None, :] + q[:, None, None] * sgn[None]
+        ).reshape(-1, 3)
+        self.depth[kids.reshape(-1)] = np.repeat(pd + 1, 8)
+        self.degree[kids.reshape(-1)] = consts.NO_BASIS
+        self.n += 8 * K
+        return kids
+
+
+def build(config: Config, F: SDFFn, *,
+          continuity_fn=None, progress: Callable[[str], None] | None = None,
+          ) -> Octree:
+    """Approximate ``F`` with an hp-adaptive Legendre octree.
+
+    Equivalent of Octree::Create (Source/HP/Octree.cpp:312-352). ``F`` maps
+    world points (K, 3) -> (K,) and must be jax-traceable (it is evaluated
+    on-device at every quadrature node of every fit, batched).
+    """
+    config.validate()
+    t0 = time.monotonic()
+
+    # Domain normalization: internal tree spans the unit cube
+    # (reference: Octree.cpp:321-328).
+    root_centre = jnp.asarray(config.root_centre)
+    root_sizes = jnp.asarray(config.root_sizes)
+
+    def F_int(pts):
+        return F(pts * root_sizes + root_centre)
+
+    st = _State(config)
+    fit = _FitCache(F_int, config)
+
+    def log(msg):
+        if config.enable_logging:
+            print(f"[hpsdf build +{time.monotonic() - t0:7.2f}s] {msg}")
+        if progress is not None:
+            progress(msg)
+
+    # -- root + uniform coarse refinement (Octree.cpp:112-191, 792-801) ----
+    st.add_root()
+    frontier = np.array([0], dtype=np.int64)
+    for _ in range(consts.COARSE_DEPTH):
+        kids = st.subdivide(frontier)
+        frontier = kids.reshape(-1)
+
+    # -- round 0: degree-2 fit on every coarse leaf (Octree.cpp:836-843) ---
+    coeffs, errs = fit(consts.COARSE_DEGREE, st.centre[frontier],
+                       st.depth[frontier])
+    cc = consts.coeff_count(consts.COARSE_DEGREE)
+    st.coeffs[frontier, :cc] = coeffs
+    st.degree[frontier] = consts.COARSE_DEGREE
+    st.err[frontier] = errs
+    total_err = float(errs.sum())
+    log(f"coarse fit: {frontier.size} leaves, total_err={total_err:.3e}")
+
+    # Leaves that can never be refined further drop out of consideration
+    # (mirrors the reference's silent queue drop at Octree.cpp:643-655).
+    max_deg, max_dep = config.max_degree, config.max_depth
+
+    rounds = 0
+    while total_err > config.target_error:
+        leaves = np.flatnonzero((st.child_idx[: st.n] < 0)
+                                & (st.degree[: st.n] >= 0)).astype(np.int64)
+        p_ok = st.degree[leaves] < max_deg - 1
+        h_ok = st.depth[leaves] < max_dep
+        cand = leaves[p_ok | h_ok]
+        if cand.size == 0:
+            log(f"stopping: no refinable leaves (total_err={total_err:.3e})")
+            break
+        # Batched analogue of the reference's greedy max-error-first queue
+        # (Octree.cpp:216-240): take the smallest error-descending prefix
+        # whose removal could bring the total below target -- a lower bound
+        # on the nodes the greedy loop would pop before its stop check.
+        errs_c = st.err[cand]
+        order = np.argsort(-errs_c)
+        csum = np.cumsum(errs_c[order])
+        need = total_err - 0.5 * config.target_error
+        k = int(np.searchsorted(csum, need)) + 1
+        k = min(k, cand.size)
+        sel = cand[order[:k]]
+        if sel.size == 0:
+            break
+
+        # Group the round's jobs by basis degree for static-shape batching.
+        for d in np.unique(st.degree[sel]):
+            grp = sel[st.degree[sel] == d]
+            d = int(d)
+            gp_ok = d < max_deg - 1
+            gh_ok_mask = st.depth[grp] < max_dep
+
+            # --- p-candidates: incremental fit at degree d+1 --------------
+            p_err = np.full(grp.size, np.inf)
+            p_coeffs = None
+            if gp_ok:
+                pw = consts.coeff_count(d)
+                p_coeffs, p_err = fit(d + 1, st.centre[grp], st.depth[grp],
+                                      prev=st.coeffs[grp, :pw])
+
+            # --- h-candidates: 8 same-degree fits over the children -------
+            h_err8 = None
+            h_coeffs = None
+            if gh_ok_mask.any():
+                hg = grp[gh_ok_mask]
+                q = np.exp2(-(st.depth[hg].astype(np.float64) + 2.0))
+                octs = np.arange(8)
+                sgn = np.stack([(octs & 1), (octs >> 1) & 1,
+                                (octs >> 2) & 1], axis=-1) * 2.0 - 1.0
+                ch_cen = (st.centre[hg][:, None, :]
+                          + q[:, None, None] * sgn[None]).reshape(-1, 3)
+                ch_dep = np.repeat(st.depth[hg] + 1, 8)
+                h_coeffs, h_err_flat = fit(d, ch_cen, ch_dep)
+                h_err8 = h_err_flat.reshape(-1, 8)
+
+            # --- decide h vs p (Octree.cpp:594-601, eqs (8)/(9)) ----------
+            old_err = st.err[grp]
+            cd, cd1 = consts.coeff_count(d), consts.coeff_count(d + 1)
+            p_imp = np.full(grp.size, -np.inf)
+            if gp_ok:
+                p_imp = (old_err - 8.0 * p_err) / (cd1 - cd)
+            h_imp = np.full(grp.size, -np.inf)
+            if h_err8 is not None:
+                max_child = h_err8.max(axis=1)
+                h_imp[gh_ok_mask] = ((old_err[gh_ok_mask] - 8.0 * max_child)
+                                     / (7.0 * cd))
+            refine_p = gp_ok & (~gh_ok_mask | (p_imp > h_imp))
+            refine_h = gh_ok_mask & ~refine_p
+
+            # --- apply P (Octree.cpp:253-260) -----------------------------
+            pg = grp[refine_p]
+            if pg.size:
+                pc = p_coeffs[refine_p]
+                st.coeffs[pg, : pc.shape[1]] = pc
+                st.degree[pg] = d + 1
+                total_err += float(p_err[refine_p].sum()
+                                   - old_err[refine_p].sum())
+                st.err[pg] = p_err[refine_p]
+
+            # --- apply H (Octree.cpp:262-279) -----------------------------
+            hsel = grp[refine_h]
+            if hsel.size:
+                kids = st.subdivide(hsel)
+                st.degree[hsel] = consts.NO_BASIS
+                # scatter the candidate fits into the new children
+                hpos = np.flatnonzero(refine_h[gh_ok_mask])  # rows in h arrays
+                rows = (hpos[:, None] * 8 + np.arange(8)[None]).reshape(-1)
+                kc = h_coeffs[rows]
+                flat_kids = kids.reshape(-1)
+                st.coeffs[flat_kids, : kc.shape[1]] = kc
+                st.degree[flat_kids] = d
+                kerr = h_err8[hpos]
+                st.err[flat_kids] = kerr.reshape(-1)
+                total_err += float(kerr.sum() - old_err[refine_h].sum())
+
+        rounds += 1
+        log(f"round {rounds}: {sel.size} refined, nodes={st.n}, "
+            f"total_err={total_err:.3e}")
+
+    tree = pack(st.child_idx, st.centre, st.depth, st.degree, st.coeffs,
+                st.n, config)
+    log(f"packed: {st.n} nodes, {tree.num_leaves()} leaves, "
+        f"deg_used={tree.deg_used}, depth_used={tree.depth_used}")
+
+    if config.continuity and continuity_fn is not None:
+        tree = continuity_fn(tree)
+        log("continuity post-process done")
+
+    return tree
