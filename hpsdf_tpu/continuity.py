@@ -1,0 +1,387 @@
+"""Global continuity post-process.
+
+Solves (M + sI) c = s c0, where M is the Gram matrix of inter-cell value
+jumps across shared leaf faces -- the reference's PerformContinuityPostProcess
+(Source/HP/Octree.cpp:1663-1762), redesigned for TPU:
+
+  reference                               this module
+  -----------------------------------    ----------------------------------
+  recursive NodeProc/FaceProc + procMap   iterative worklist expansion over
+  (Octree.cpp:1549-1612)                  index arrays; pairs reached once
+  per-thread Eigen triplet buffers        vectorized COO assembly in numpy
+  scalar 2-D GL quadrature per entry      separable 1-D quadrature: each
+  (Octree.cpp:1250-1456)                  cross-depth block factorizes into
+                                          (normal) x (tan1) x (tan2) products
+  Eigen CG + IncompleteCholesky           Jacobi-preconditioned CG on device,
+  (Octree.cpp:1749-1755)                  matvec = gather * vals -> segment-sum
+
+Analytic same-depth entries use L_p(1) = 1, L_p(-1) = (-1)^p, so the three
+block families reduce to sign patterns times normalizer products under a
+Kronecker-delta tangential mask (Octree.cpp:1459-1546, "Appendix A"). The
+cross-depth entries use the separability of the reference's 2-D face
+quadrature into per-tangential-axis 1-D integrals.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import basis, consts
+from .tree import Octree
+
+
+# --------------------------------------------------------------------------
+# Face-pair enumeration
+# --------------------------------------------------------------------------
+
+def leaf_face_pairs(child_idx: np.ndarray, n_nodes: int):
+    """All (leaf_a, leaf_b, dim) sharing a positive-area face, with a on the
+    minus side of axis ``dim``. Iterative, batched equivalent of
+    NodeProc/FaceProc (Octree.cpp:1549-1612)."""
+    ci = child_idx[:n_nodes]
+    internal = np.flatnonzero(ci >= 0)
+
+    seeds_a, seeds_b, seeds_d = [], [], []
+    for d in range(3):
+        bit = 1 << d
+        # the 4 sibling pairs sharing an internal face per axis
+        # (reference table SharedFaceLookup, Include/HP/Utility.h:166-196)
+        for o in (o for o in range(8) if not (o & bit)):
+            seeds_a.append(ci[internal] + o)
+            seeds_b.append(ci[internal] + o + bit)
+            seeds_d.append(np.full(internal.size, d, np.int32))
+    if not seeds_a:
+        return (np.zeros(0, np.int64),) * 2 + (np.zeros(0, np.int32),)
+    a = np.concatenate(seeds_a).astype(np.int64)
+    b = np.concatenate(seeds_b).astype(np.int64)
+    dd = np.concatenate(seeds_d)
+
+    out = []
+    while a.size:
+        leaf_pair = (child_idx[a] < 0) & (child_idx[b] < 0)
+        if leaf_pair.any():
+            out.append((a[leaf_pair], b[leaf_pair], dd[leaf_pair]))
+        live = ~leaf_pair
+        a, b, dd = a[live], b[live], dd[live]
+        if not a.size:
+            break
+        # expand each live pair into the 4 child sub-pairs facing the
+        # shared plane (FaceProc recursion, Octree.cpp:1582-1588)
+        na, nb, nd = [], [], []
+        for d in range(3):
+            m = dd == d
+            if not m.any():
+                continue
+            bit = 1 << d
+            aa, bb = a[m], b[m]
+            a_has = child_idx[aa] >= 0
+            b_has = child_idx[bb] >= 0
+            for o in (o for o in range(8) if not (o & bit)):
+                na.append(np.where(a_has, child_idx[aa] + o + bit, aa))
+                nb.append(np.where(b_has, child_idx[bb] + o, bb))
+                nd.append(np.full(aa.size, d, np.int32))
+        a = np.concatenate(na).astype(np.int64)
+        b = np.concatenate(nb).astype(np.int64)
+        dd = np.concatenate(nd)
+
+    if not out:
+        return (np.zeros(0, np.int64),) * 2 + (np.zeros(0, np.int32),)
+    A = np.concatenate([o[0] for o in out])
+    B = np.concatenate([o[1] for o in out])
+    D = np.concatenate([o[2] for o in out])
+    # each pair is reached exactly once (unique lowest-common-ancestor seed),
+    # but dedup defensively as the reference's procMap does (:1597-1604)
+    _, keep = np.unique(A * (3 * n_nodes) + B * 3 + D, return_index=True)
+    return A[keep], B[keep], D[keep]
+
+
+# --------------------------------------------------------------------------
+# COO assembly
+# --------------------------------------------------------------------------
+
+def _cc_vec(deg):
+    d = np.maximum(deg, 0).astype(np.int64)
+    return (d + 1) * (d + 2) * (d + 3) // 6
+
+
+class _LeafView:
+    """Host view of a packed tree with per-leaf flat coefficient offsets
+    (the reference's post-ReallocCoeffs coeffsStart, Octree.cpp:535-544)."""
+
+    def __init__(self, tree: Octree):
+        self.child_idx = np.asarray(tree.child_idx)
+        self.centre = np.asarray(tree.centre)
+        self.depth = np.asarray(tree.depth)
+        self.degree = np.asarray(tree.degree)
+        self.n = tree.n_nodes
+        widths = np.where(self.degree >= 0, _cc_vec(self.degree), 0)
+        widths[self.n:] = 0
+        starts = np.zeros(len(widths) + 1, np.int64)
+        np.cumsum(widths, out=starts[1:])
+        self.coeff_start = starts[:-1]
+        self.widths = widths
+        self.n_coeffs = int(starts[-1])
+
+
+@functools.lru_cache(maxsize=None)
+def _tangential_match(deg_a: int, deg_b: int, dim: int):
+    """(i, j) index pairs whose tangential exponents match -- the nonzero
+    pattern of the analytic same-depth blocks (Octree.cpp:1478-1484)."""
+    ia = basis.basis_indices(deg_a)
+    ib = basis.basis_indices(deg_b)
+    t1, t2 = (dim + 1) % 3, (dim + 2) % 3
+    eq = ((ia[:, None, t1] == ib[None, :, t1])
+          & (ia[:, None, t2] == ib[None, :, t2]))
+    i, j = np.nonzero(eq)
+    return i.astype(np.int64), j.astype(np.int64)
+
+
+def _groups(st, a, b, d):
+    """Iterate (deg_a, deg_b, dim) -> boolean mask over the pair list."""
+    key = (st.degree[a] * 1000 + st.degree[b]) * 10 + d
+    for k in np.unique(key):
+        m = key == k
+        da = int(st.degree[a[m]][0])
+        db = int(st.degree[b[m]][0])
+        yield da, db, int(d[m][0]), m
+
+
+def _analytic_entries(st, a, b, d, rows, cols, vals):
+    """Same-depth blocks (Octree.cpp:1459-1546). With L_p(1)=1 and
+    L_p(-1)=(-1)^p: AA[i,j] = n_i n_j, AB[i,j] = -(-1)^{j_d} n_i n_j
+    (emitted symmetrically), BB[i,j] = (-1)^{i_d+j_d} n_i n_j, where
+    n_p = NormalisedLengths[p_d][depth] and (i,j) range over tangentially
+    matching index pairs."""
+    nt = basis.norm_table()
+    for da, db, dim, m in _groups(st, a, b, d):
+        pa, pb = a[m], b[m]
+        dep = st.depth[pa]                        # == depth[pb] here
+        ia = basis.basis_indices(da)
+        ib = basis.basis_indices(db)
+
+        def emit(bi_idx, bj_idx, pd_i, pd_j, starts_i, starts_j, sign):
+            Ni = nt[pd_i[None, :], dep[:, None]]  # (P, K)
+            Nj = nt[pd_j[None, :], dep[:, None]]
+            v = sign[None, :] * Ni * Nj           # (P, K)
+            r = starts_i[:, None] + bi_idx[None, :]
+            c = starts_j[:, None] + bj_idx[None, :]
+            rows.append(r.ravel())
+            cols.append(c.ravel())
+            vals.append(v.ravel())
+
+        sA, sB = st.coeff_start[pa], st.coeff_start[pb]
+        # AA
+        i, j = _tangential_match(da, da, dim)
+        emit(i, j, ia[i, dim], ia[j, dim], sA, sA,
+             np.ones(i.size))
+        # AB and BA (symmetric)
+        i, j = _tangential_match(da, db, dim)
+        sgn = -np.where(ib[j, dim] % 2 == 0, 1.0, -1.0)
+        emit(i, j, ia[i, dim], ib[j, dim], sA, sB, sgn)
+        emit(j, i, ib[j, dim], ia[i, dim], sB, sA, sgn)
+        # BB
+        i, j = _tangential_match(db, db, dim)
+        sgn = np.where((ib[i, dim] + ib[j, dim]) % 2 == 0, 1.0, -1.0)
+        emit(i, j, ib[i, dim], ib[j, dim], sB, sB, sgn)
+
+
+def _numeric_entries(st, a, b, d, rows, cols, vals):
+    """Cross-depth blocks via separable 1-D quadrature.
+
+    The reference's 2-D face quadrature (Octree.cpp:1250-1456) factorizes:
+    every block entry is (normal factor) * I_t1[p,q] * I_t2[p,q] with
+    I[p,q] = sum_x w_x L_p(x_A) L_q(x_B), where the shallower node's sample
+    is x*2^-dd + t (the shared sub-face mapped into its frame) and the
+    deeper node's sample is x itself.
+    """
+    nt = basis.norm_table()
+    for da, db, dim, m in _groups(st, a, b, d):
+        pa, pb = a[m], b[m]
+        P = pa.size
+        dep_a, dep_b = st.depth[pa], st.depth[pb]
+        max_deg = max(da, db)
+        x, w = basis.leggauss(basis.face_rule_size(max_deg))
+        Q = x.size
+        t1, t2 = (dim + 1) % 3, (dim + 2) % 3
+
+        dd_ = np.abs(dep_a - dep_b)
+        inv_dist = np.exp2(-dd_.astype(np.float64))
+        half_a = np.exp2(-(dep_a.astype(np.float64) + 1.0))
+        half_b = np.exp2(-(dep_b.astype(np.float64) + 1.0))
+        b_deeper = dep_b > dep_a
+
+        # transformed per-axis samples for each side's local frame
+        # (invDist/invTranslation, Octree.cpp:1275-1290)
+        xA, xB = {}, {}
+        for t in (t1, t2):
+            ca, cb = st.centre[pa][:, t], st.centre[pb][:, t]
+            off = np.where(b_deeper, (cb - ca) / half_a, (ca - cb) / half_b)
+            warp = x[None, :] * inv_dist[:, None] + off[:, None]   # (P, Q)
+            raw = np.broadcast_to(x[None, :], (P, Q))
+            xA[t] = np.where(b_deeper[:, None], warp, raw)
+            xB[t] = np.where(b_deeper[:, None], raw, warp)
+
+        def integ(xs_i, xs_j):
+            Li = basis.legendre_all_np(xs_i, max_deg)          # (D+1, P, Q)
+            Lj = basis.legendre_all_np(xs_j, max_deg)
+            return np.einsum("pnq,rnq,q->npr", Li, Lj, w)      # (P, D+1, D+1)
+
+        I_AA = {t: integ(xA[t], xA[t]) for t in (t1, t2)}
+        I_AB = {t: integ(xA[t], xB[t]) for t in (t1, t2)}
+        I_BB = {t: integ(xB[t], xB[t]) for t in (t1, t2)}
+
+        area = np.where(b_deeper, half_b, half_a) ** 2          # (P,)
+
+        ia = basis.basis_indices(da)
+        ib = basis.basis_indices(db)
+        NA = (nt[ia[:, 0][None, :], dep_a[:, None]]
+              * nt[ia[:, 1][None, :], dep_a[:, None]]
+              * nt[ia[:, 2][None, :], dep_a[:, None]])          # (P, CA)
+        NB = (nt[ib[:, 0][None, :], dep_b[:, None]]
+              * nt[ib[:, 1][None, :], dep_b[:, None]]
+              * nt[ib[:, 2][None, :], dep_b[:, None]])          # (P, CB)
+        sA, sB = st.coeff_start[pa], st.coeff_start[pb]
+
+        def emit(bi, bj, I1, I2, fd, starts_i, starts_j, Ni, Nj,
+                 transpose=False):
+            Bv = (I1[:, bi[:, t1][:, None], bj[:, t1][None, :]]
+                  * I2[:, bi[:, t2][:, None], bj[:, t2][None, :]]
+                  * fd[None, :, :] * area[:, None, None]
+                  * Ni[:, :, None] * Nj[:, None, :])            # (P, Ci, Cj)
+            ii = np.arange(bi.shape[0])
+            jj = np.arange(bj.shape[0])
+            r = starts_i[:, None, None] + ii[None, :, None]
+            c = starts_j[:, None, None] + jj[None, None, :]
+            if transpose:
+                rows.append(np.broadcast_to(c, Bv.shape).ravel())
+                cols.append(np.broadcast_to(r, Bv.shape).ravel())
+            else:
+                rows.append(np.broadcast_to(r, Bv.shape).ravel())
+                cols.append(np.broadcast_to(c, Bv.shape).ravel())
+            vals.append(Bv.ravel())
+
+        sgn_i_b = np.where(ib[:, dim] % 2 == 0, 1.0, -1.0)
+        # AA: L_i(1) L_j(1) = 1
+        emit(ia, ia, I_AA[t1], I_AA[t2],
+             np.ones((ia.shape[0], ia.shape[0])), sA, sA, NA, NA)
+        # AB: -L_i(1) L_j(-1) = -(-1)^{j_d}, emitted with its transpose
+        fd_ab = -np.ones((ia.shape[0], 1)) * sgn_i_b[None, :]
+        emit(ia, ib, I_AB[t1], I_AB[t2], fd_ab, sA, sB, NA, NB)
+        emit(ia, ib, I_AB[t1], I_AB[t2], fd_ab, sA, sB, NA, NB,
+             transpose=True)
+        # BB: L_i(-1) L_j(-1) = (-1)^{i_d+j_d}
+        fd_bb = sgn_i_b[:, None] * sgn_i_b[None, :]
+        emit(ib, ib, I_BB[t1], I_BB[t2], fd_bb, sB, sB, NB, NB)
+
+
+def assemble_face_matrix(tree: Octree):
+    """COO (rows, cols, vals) of the face-jump Gram matrix M plus the leaf
+    view used for coefficient packing."""
+    st = _LeafView(tree)
+    a, b, d = leaf_face_pairs(st.child_idx, st.n)
+    rows: list = []
+    cols: list = []
+    vals: list = []
+    if a.size:
+        same = st.depth[a] == st.depth[b]
+        if same.any():
+            _analytic_entries(st, a[same], b[same], d[same], rows, cols, vals)
+        if (~same).any():
+            _numeric_entries(st, a[~same], b[~same], d[~same],
+                             rows, cols, vals)
+    if rows:
+        R = np.concatenate(rows)
+        C = np.concatenate(cols)
+        V = np.concatenate(vals)
+        # prune tiny entries as the reference does (EPSILON_F32 threshold,
+        # Octree.cpp:1336-1340)
+        keep = np.abs(V) > consts.EPSILON_F32
+        R, C, V = R[keep], C[keep], V[keep]
+    else:
+        R = np.zeros(0, np.int64)
+        C = np.zeros(0, np.int64)
+        V = np.zeros(0, np.float64)
+    return st, R, C, V
+
+
+# --------------------------------------------------------------------------
+# CG solve (device)
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("n", "max_iter"))
+def _cg_solve(rows, cols, vals, s, diag, b, x0, n: int, tol, max_iter: int):
+    """Jacobi-preconditioned CG on (M + sI) x = b, M in COO form.
+
+    Matvec = gather * vals -> segment_sum + s*x: the TPU-native replacement
+    for Eigen's sparse CG + IncompleteCholesky (Octree.cpp:1749-1755).
+    """
+
+    def matvec(x):
+        return jax.ops.segment_sum(vals * x[cols], rows,
+                                   num_segments=n) + s * x
+
+    minv = 1.0 / diag
+    x = x0
+    r = b - matvec(x)
+    z = minv * r
+    p = z
+    rz = jnp.vdot(r, z)
+    thresh = tol * tol * jnp.vdot(b, b)
+
+    def cond(state):
+        _, r, _, _, k = state
+        return (jnp.vdot(r, r) > thresh) & (k < max_iter)
+
+    def body(state):
+        x, r, p, rz, k = state
+        Ap = matvec(p)
+        alpha = rz / jnp.vdot(p, Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = minv * r
+        rz_new = jnp.vdot(r, z)
+        p = z + (rz_new / rz) * p
+        return x, r, p, rz_new, k + 1
+
+    x, *_ = jax.lax.while_loop(cond, body, (x, r, p, rz, 0))
+    return x
+
+
+# --------------------------------------------------------------------------
+# Public entry
+# --------------------------------------------------------------------------
+
+def enforce_continuity(tree: Octree) -> Octree:
+    """Return a tree whose coefficients minimize inter-cell jumps: solves
+    (M + sI) c = s c0 with warm start (reference: Octree.cpp:1717-1762)."""
+    st, R, C, V = assemble_face_matrix(tree)
+    if st.n_coeffs == 0:
+        return tree
+    s = float(tree.config.continuity_strength)
+    n = st.n_coeffs
+
+    # pack padded per-leaf rows into the flat coefficient vector
+    coeffs = np.asarray(tree.coeffs)
+    leaf_ids = np.flatnonzero(st.degree[: st.n] >= 0)
+    widths = st.widths[leaf_ids]
+    flat_rows = np.repeat(leaf_ids, widths)
+    flat_cols = np.concatenate([np.arange(w) for w in widths]) \
+        if leaf_ids.size else np.zeros(0, np.int64)
+    c0 = coeffs[flat_rows, flat_cols]
+
+    diag = np.full(n, s, np.float64)
+    on_diag = R == C
+    np.add.at(diag, R[on_diag], V[on_diag])
+
+    x = _cg_solve(jnp.asarray(R), jnp.asarray(C), jnp.asarray(V),
+                  s, jnp.asarray(diag), jnp.asarray(s * c0),
+                  jnp.asarray(c0), n=n, tol=consts.EPSILON_F32,
+                  max_iter=2 * n)
+    new_coeffs = coeffs.copy()
+    new_coeffs[flat_rows, flat_cols] = np.asarray(x)
+    return dataclasses.replace(tree, coeffs=jnp.asarray(new_coeffs))

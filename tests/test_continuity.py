@@ -1,0 +1,130 @@
+"""Continuity post-process tests (hpsdf_tpu/continuity.py).
+
+Mirrors the reference's "Octree Continuity" oracle (HPUnitTests.cpp:80-112)
+plus structural checks the reference lacks: matrix symmetry, analytic vs
+numeric face-integral agreement, and measured jump reduction.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import hpsdf_tpu as hp
+from hpsdf_tpu import continuity as cont
+from .util import sphere_sdf, uniform_pts
+
+
+def two_sphere_sdf():
+    def F(p):
+        a = jnp.linalg.norm(p - jnp.asarray([0.17, 0.06, -0.1]), axis=-1) - 0.21
+        b = jnp.linalg.norm(p + jnp.asarray([0.2, 0.12, 0.03]), axis=-1) - 0.13
+        return jnp.minimum(a, b)
+
+    return F
+
+
+@pytest.fixture(scope="module")
+def fitted():
+    cfg = hp.Config(target_error=1e-8, continuity=False)
+    return hp.build_octree(cfg, two_sphere_sdf())
+
+
+def test_face_pairs_structure(fitted):
+    st = cont._LeafView(fitted)
+    a, b, d = cont.leaf_face_pairs(st.child_idx, st.n)
+    assert a.size > 0
+    # both sides are leaves
+    assert (st.child_idx[a] < 0).all() and (st.child_idx[b] < 0).all()
+    # a is on the minus side along dim
+    ca = st.centre[a, d]
+    cb = st.centre[b, d]
+    assert (ca < cb).all()
+    # faces actually touch: distance between centres equals sum of halves
+    ha = np.exp2(-(st.depth[a].astype(np.float64) + 1.0))
+    hb = np.exp2(-(st.depth[b].astype(np.float64) + 1.0))
+    np.testing.assert_allclose(cb - ca, ha + hb, atol=1e-12)
+
+
+def test_matrix_symmetric(fitted):
+    st, R, C, V = cont.assemble_face_matrix(fitted)
+
+    def norm_coo(r, c, v):
+        key = r * st.n_coeffs + c
+        uk, inv = np.unique(key, return_inverse=True)
+        sv = np.zeros(len(uk))
+        np.add.at(sv, inv, v)
+        return uk, sv
+
+    k1, v1 = norm_coo(R, C, V)
+    k2, v2 = norm_coo(C, R, V)
+    assert np.array_equal(k1, k2)
+    np.testing.assert_allclose(v1, v2, atol=1e-12)
+
+
+def test_analytic_matches_numeric_for_same_depth(fitted):
+    # the separable quadrature path must reproduce the closed-form entries
+    # when both leaves share a depth (cross-validates Octree.cpp:1459-1546
+    # against :1250-1456)
+    st = cont._LeafView(fitted)
+    a, b, d = cont.leaf_face_pairs(st.child_idx, st.n)
+    same = st.depth[a] == st.depth[b]
+    a, b, d = a[same][:20], b[same][:20], d[same][:20]
+    ra, ca_, va = [], [], []
+    rn, cn, vn = [], [], []
+    cont._analytic_entries(st, a, b, d, ra, ca_, va)
+    cont._numeric_entries(st, a, b, d, rn, cn, vn)
+
+    def dense(rr, cc, vv):
+        rr = np.concatenate(rr)
+        cc = np.concatenate(cc)
+        vv = np.concatenate(vv)
+        keys = rr * st.n_coeffs + cc
+        uk, inv = np.unique(keys, return_inverse=True)
+        sv = np.zeros(len(uk))
+        np.add.at(sv, inv, vv)
+        keep = np.abs(sv) > 1e-10
+        return dict(zip(uk[keep], sv[keep]))
+
+    da = dense(ra, ca_, va)
+    dn = dense(rn, cn, vn)
+    assert set(da) == set(dn)
+    for k in da:
+        assert abs(da[k] - dn[k]) < 1e-9
+
+
+def test_continuity_reduces_jumps(fitted):
+    rng = np.random.default_rng(2)
+    yz = rng.uniform(-0.49, 0.49, (20000, 2))
+    eps = 1e-9
+
+    def jumps(tree, plane):
+        L = np.stack([np.full(len(yz), plane - eps), yz[:, 0], yz[:, 1]], 1)
+        R = np.stack([np.full(len(yz), plane + eps), yz[:, 0], yz[:, 1]], 1)
+        return np.abs(np.asarray(hp.query(tree, jnp.asarray(L)))
+                      - np.asarray(hp.query(tree, jnp.asarray(R))))
+
+    smoothed = cont.enforce_continuity(fitted)
+    for plane in (0.0, -0.125):
+        before = jumps(fitted, plane)
+        after = jumps(smoothed, plane)
+        assert after.mean() < 0.5 * before.mean()
+        assert after.max() < before.max()
+
+
+def test_accuracy_preserved_after_continuity(fitted):
+    # "Octree Continuity" oracle: still within tol 0.01 of the true SDF
+    smoothed = cont.enforce_continuity(fitted)
+    pts = uniform_pts(200_000, seed=9)
+    got = np.asarray(hp.query(smoothed, jnp.asarray(pts)))
+    want = np.asarray(two_sphere_sdf()(jnp.asarray(pts)))
+    assert np.abs(got - want).max() < 0.01
+
+
+def test_build_octree_with_continuity_flag():
+    cfg = hp.Config(target_error=1e-7, continuity=True,
+                    continuity_strength=8.0)
+    tree = hp.build_octree(cfg, sphere_sdf(radius=0.3))
+    pts = uniform_pts(100_000, seed=4)
+    got = np.asarray(hp.query(tree, jnp.asarray(pts)))
+    want = np.asarray(sphere_sdf(radius=0.3)(jnp.asarray(pts)))
+    assert np.abs(got - want).max() < 0.01
