@@ -30,10 +30,12 @@ from .config import Config, NearnessWeighting            # noqa: E402
 from .tree import Octree, save, load                     # noqa: E402
 from .api import (build_octree, query, query_with_gradient, query_grid,
                   union_sdf, subtract_sdf, intersect_sdf)  # noqa: E402
+from .render import trace, render, camera_rays, intersect_aabb  # noqa: E402
 
 __all__ = [
     "Config", "NearnessWeighting", "Octree", "save", "load",
     "build_octree", "query", "query_with_gradient", "query_grid",
     "union_sdf", "subtract_sdf", "intersect_sdf",
+    "trace", "render", "camera_rays", "intersect_aabb",
 ]
 __version__ = "0.1.0"

@@ -1,0 +1,134 @@
+"""Sphere-tracer tests: hit geometry vs the closed-form sphere, implicit
+VJP vs finite differences (the reference has no renderer; oracles are
+analytic, following SURVEY.md section 4's pattern)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import hpsdf_tpu as hp
+from hpsdf_tpu import render
+from .util import sphere_sdf
+
+
+RADIUS = 0.3
+
+
+@pytest.fixture(scope="module")
+def sphere_tree():
+    cfg = hp.Config(target_error=1e-8, continuity=False, max_depth=5,
+                    max_degree=6)
+    return hp.build_octree(cfg, sphere_sdf(radius=RADIUS))
+
+
+def test_intersect_aabb():
+    o = jnp.asarray([[0.0, 0.0, -2.0],   # hits head-on
+                     [0.0, 0.0, 0.0],    # starts inside
+                     [2.0, 0.0, -2.0],   # misses
+                     [0.0, 0.0, 2.0]])   # box behind the ray
+    d = jnp.asarray([[0.0, 0.0, 1.0]] * 4)
+    tn, tf, hit = render.intersect_aabb(o, d, (-0.5, -0.5, -0.5),
+                                        (0.5, 0.5, 0.5))
+    np.testing.assert_array_equal(np.asarray(hit), [True, True, False, False])
+    np.testing.assert_allclose(float(tn[0]), 1.5, atol=1e-6)
+    np.testing.assert_allclose(float(tf[0]), 2.5, atol=1e-6)
+    assert float(tn[1]) <= 0.0 <= float(tf[1])
+
+
+def test_trace_sphere_hit_distance(sphere_tree):
+    # rays from -z toward the sphere: hit t should be (|o| - R) on-axis
+    n = 64
+    rng = np.random.default_rng(1)
+    # aim from z=-2 at plane targets well inside the silhouette
+    tgt = rng.uniform(-0.1, 0.1, (n, 2))
+    o = np.concatenate([np.zeros((n, 2)), np.full((n, 1), -2.0)], axis=1)
+    d = np.concatenate([tgt, np.full((n, 1), 2.0)], axis=1)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    res = render.trace(sphere_tree, o, d, t_max=5.0)
+    assert bool(jnp.all(res.hit))
+    p = o + np.asarray(res.t)[:, None] * d
+    r_hit = np.linalg.norm(p, axis=1)
+    # sphere tracing stops within hit_eps of the surface, before it
+    np.testing.assert_allclose(r_hit, RADIUS, atol=5e-3)
+    assert np.all(r_hit >= RADIUS - 1e-3)
+
+
+def test_trace_miss(sphere_tree):
+    o = np.asarray([[0.45, 0.45, -2.0]])
+    d = np.asarray([[0.0, 0.0, 1.0]])
+    res = render.trace(sphere_tree, o, d, t_max=5.0)
+    assert not bool(res.hit[0])
+
+
+def test_trace_gradient_matches_fd(sphere_tree):
+    """Implicit-function VJP vs finite differences of the *true* hit root.
+
+    The marched t is step-quantized (not a smooth function of the coeffs);
+    the implicit VJP represents the gradient of the exact root of
+    f(o + t d) = 0, so the FD oracle Newton-refines the root in f64 for each
+    perturbed coefficient vector before differencing.
+    """
+    import dataclasses
+
+    o = jnp.asarray([[0.02, -0.03, -2.0]], jnp.float32)
+    d = jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32)
+    tree32 = render._tree_f32(sphere_tree)
+    static = render._static_of(tree32, render.HIT_EPS, 200)
+
+    def t_march(coeffs):
+        t, _, _ = render._trace_core(
+            static, tree32.child_idx, tree32.centre, tree32.depth,
+            coeffs.astype(jnp.float32), o, d, jnp.float32(5.0))
+        return t[0]
+
+    o64 = jnp.asarray(o, jnp.float64)
+    d64 = jnp.asarray(d, jnp.float64)
+
+    def t_root(c64):
+        tr = dataclasses.replace(sphere_tree, coeffs=jnp.asarray(c64))
+
+        def f(tv):
+            return hp.query(tr, o64 + tv * d64, outside_value_max=False)[0]
+
+        t = float(t_march(jnp.asarray(c64)))
+        for _ in range(20):
+            val, dfdt = jax.jvp(f, (jnp.float64(t),), (jnp.float64(1.0),))
+            t = t - float(val) / float(dfdt)
+        return t
+
+    g = np.asarray(jax.grad(t_march)(tree32.coeffs), np.float64)
+
+    # FD on the few largest-|g| coefficients
+    idx = np.argsort(-np.abs(g).ravel())[:4]
+    eps = 1e-5
+    base = np.asarray(sphere_tree.coeffs)
+    for k in idx:
+        ij = np.unravel_index(k, g.shape)
+        cp = base.copy()
+        cp[ij] += eps
+        cm = base.copy()
+        cm[ij] -= eps
+        fd = (t_root(cp) - t_root(cm)) / (2 * eps)
+        assert abs(fd - g[ij]) < 1e-2 * max(1.0, abs(fd)), (
+            f"coeff {ij}: fd={fd} vjp={g[ij]}")
+
+
+def test_render_image(sphere_tree):
+    img, depth, hit = render.render(
+        sphere_tree, eye=(0.0, 0.0, -1.8), look_at=(0.0, 0.0, 0.0),
+        width=64, height=64, t_max=5.0)
+    img = np.asarray(img)
+    hit = np.asarray(hit)
+    assert img.shape == (64, 64, 3)
+    # centre pixel hits the sphere, corners miss
+    assert hit[32, 32]
+    assert not hit[0, 0] and not hit[63, 63]
+    # silhouette is a disc: hit fraction ~ pi*(ang_r)^2; just sanity-band it
+    frac = hit.mean()
+    assert 0.05 < frac < 0.9
+    # shading is lit at the centre
+    assert img[32, 32, 0] > 0.5
+    # depth at the centre ~ eye distance - R
+    np.testing.assert_allclose(np.asarray(depth)[32, 32], 1.8 - RADIUS,
+                               atol=2e-2)
