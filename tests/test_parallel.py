@@ -1,0 +1,83 @@
+"""Sharding tests on the 8-virtual-CPU-device mesh (conftest.py forces
+``--xla_force_host_platform_device_count=8``)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import hpsdf_tpu as hp
+from hpsdf_tpu import parallel
+from .util import sphere_sdf, uniform_pts
+
+
+@pytest.fixture(scope="module")
+def small_tree():
+    cfg = hp.Config(target_error=1e-6, continuity=False, max_depth=4,
+                    max_degree=4)
+    return hp.build_octree(cfg, sphere_sdf(radius=0.3))
+
+
+def test_mesh_shapes():
+    m = parallel.make_mesh()
+    assert m.shape[parallel.BATCH_AXIS] == 8
+    m2 = parallel.make_mesh(node_parallel=2)
+    assert m2.shape[parallel.BATCH_AXIS] == 4
+    assert m2.shape[parallel.NODE_AXIS] == 2
+
+
+def test_shard_query_matches_single_device(small_tree):
+    pts = uniform_pts(1003, seed=3)   # deliberately not divisible by 8
+    want = np.asarray(hp.query(small_tree, jnp.asarray(pts)))
+    mesh = parallel.make_mesh()
+    got = np.asarray(parallel.shard_query(small_tree, pts, mesh))
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
+
+
+def test_shard_query_node_sharded(small_tree):
+    pts = uniform_pts(512, seed=4)
+    want = np.asarray(hp.query(small_tree, jnp.asarray(pts)))
+    mesh = parallel.make_mesh(node_parallel=2)
+    got = np.asarray(parallel.shard_query(small_tree, pts, mesh,
+                                          shard_nodes=True))
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
+
+
+def test_shard_trace_matches_single_device(small_tree):
+    n = 37
+    rng = np.random.default_rng(5)
+    tgt = rng.uniform(-0.1, 0.1, (n, 2))
+    o = np.concatenate([np.zeros((n, 2)), np.full((n, 1), -2.0)], axis=1)
+    d = np.concatenate([tgt, np.full((n, 1), 2.0)], axis=1)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    single = hp.trace(small_tree, o, d, t_max=5.0)
+    mesh = parallel.make_mesh()
+    sharded = parallel.shard_trace(small_tree, o, d, mesh, t_max=5.0)
+    np.testing.assert_array_equal(np.asarray(sharded.hit),
+                                  np.asarray(single.hit))
+    np.testing.assert_allclose(np.asarray(sharded.t), np.asarray(single.t),
+                               atol=1e-5)
+
+
+def test_sharded_train_step_reduces_loss(small_tree):
+    mesh = parallel.make_mesh(node_parallel=2)
+    step = parallel.make_sharded_train_step(mesh, small_tree,
+                                            shard_nodes=True)
+    pts = uniform_pts(4096, seed=6)
+    target = np.asarray(sphere_sdf(radius=0.3)(jnp.asarray(pts)))
+    # corrupt the coefficients so there is something to learn back
+    rng = np.random.default_rng(7)
+    import dataclasses
+    noisy = dataclasses.replace(
+        small_tree,
+        coeffs=small_tree.coeffs
+        + jnp.asarray(rng.normal(0, 1e-3, small_tree.coeffs.shape)))
+    t1, l1 = step(noisy, pts, target, lr=1e-4)
+    t2, l2 = step(t1, pts, target, lr=1e-4)
+    assert float(l2) < float(l1)
+    # gradient step must match the unsharded computation
+    t1s, l1s = parallel.train_step(noisy, jnp.asarray(pts),
+                                   jnp.asarray(target), 1e-4)
+    np.testing.assert_allclose(float(l1), float(l1s), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(t1.coeffs), np.asarray(t1s.coeffs),
+                               atol=1e-12)
