@@ -30,12 +30,19 @@ from .config import Config, NearnessWeighting            # noqa: E402
 from .tree import Octree, save, load                     # noqa: E402
 from .api import (build_octree, query, query_with_gradient, query_grid,
                   union_sdf, subtract_sdf, intersect_sdf)  # noqa: E402
-from .render import trace, render, camera_rays, intersect_aabb  # noqa: E402
+from .accel import pack_tree  # noqa: E402
+from .render import (trace, camera_rays, intersect_aabb,  # noqa: E402
+                     render as render_image)
+from . import render as _render_mod  # noqa: E402,F401
+
+# keep ``hpsdf_tpu.render`` pointing at the submodule (the function is
+# exported as ``render_image``)
+render = _render_mod
 
 __all__ = [
     "Config", "NearnessWeighting", "Octree", "save", "load",
     "build_octree", "query", "query_with_gradient", "query_grid",
-    "union_sdf", "subtract_sdf", "intersect_sdf",
-    "trace", "render", "camera_rays", "intersect_aabb",
+    "union_sdf", "subtract_sdf", "intersect_sdf", "pack_tree",
+    "trace", "render_image", "camera_rays", "intersect_aabb", "render",
 ]
 __version__ = "0.1.0"

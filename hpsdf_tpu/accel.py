@@ -1,0 +1,188 @@
+"""Gather-optimized read path: packed node rows + dense leaf-row grid.
+
+Why this exists (measured on TPU v5e through this repo's bench protocol):
+XLA TPU gathers are row-count-bound at ~3.7 ns/row for row widths 8..32 f32,
+but catastrophically slow for narrow gathers (scalar gathers cost ~100x
+more per element). The generic query path (query.py) descends with ~11
+narrow gathers per point; at 1M-point batches that is ~90 ms per evaluation
+-- unusable for sphere tracing at 200 steps/ray.
+
+This module re-lays the octree for reading:
+
+  * **Packed node row** ``f32[W]`` per node, W a multiple of 8:
+      lane 0      : child_idx bitcast i32->f32 (exact; -1 for leaves)
+      lane 1      : scale = 2**(depth+1) (precomputed, replaces exp2+depth)
+      lanes 2..4  : cell centre (internal unit-cube coords)
+      lanes 8..   : coefficients with the (depth, basis) normalizers
+                    pre-multiplied in (linear re-scaling, so VJPs pull back
+                    through a constant diagonal)
+    One W-wide gather fetches everything a descent step or a leaf
+    evaluation needs.
+
+  * **Dense leaf-row grid** at depth Dg = min(depth_used, GRID_DEPTH_CAP):
+    grid[cell] is the full packed row of the unique node at depth <= Dg
+    covering that cell (a leaf, or the depth-Dg internal node above deeper
+    structure). Point location then costs ONE wide gather plus
+    (depth_used - Dg) masked packed-descent rounds -- instead of
+    depth_used rounds of narrow gathers.
+
+The packed layout is read-only: it is derived from a fitted Octree once
+(``pack_tree``) and reused across queries/traces. The reference's analogue
+is the pointer-free child-offset descent (Source/HP/Octree.cpp:674-699);
+this is that idea re-shaped around TPU gather economics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import basis
+from .tree import Octree
+
+# Dense grid capped at 32^3 cells; full packed rows at deg 6 (W=96) are
+# 12 MiB -- cheap in HBM, one-time upload.
+GRID_DEPTH_CAP = 5
+COEFF_LANE = 8
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PackedTree:
+    rows: jax.Array        # f32[Np, W] packed node rows
+    grid: jax.Array        # f32[G**3, W] packed row per depth-Dg cell
+    # static metadata
+    deg_used: int = dataclasses.field(metadata=dict(static=True))
+    grid_depth: int = dataclasses.field(metadata=dict(static=True))
+    extra_rounds: int = dataclasses.field(metadata=dict(static=True))
+    root_centre: tuple = dataclasses.field(metadata=dict(static=True))
+    root_sizes: tuple = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def width(self) -> int:
+        return self.rows.shape[1]
+
+
+def _pack_rows(tree: Octree) -> np.ndarray:
+    n = tree.capacity
+    cw = tree.coeff_width
+    W = COEFF_LANE + cw
+    W = -(-W // 8) * 8
+    rows = np.zeros((n, W), np.float32)
+    child = np.asarray(tree.child_idx, np.int32)
+    rows[:, 0] = child.view(np.float32)
+    depth = np.asarray(tree.depth, np.float64)
+    rows[:, 1] = np.exp2(depth + 1.0).astype(np.float32)
+    rows[:, 2:5] = np.asarray(tree.centre, np.float32)
+    # fold the per-(depth, basis) normalizers into the coefficients
+    norms = basis.coeff_norms(tree.deg_used)          # (D+1, cw)
+    dep_i = np.asarray(tree.depth, np.int64)
+    rows[:, COEFF_LANE:COEFF_LANE + cw] = (
+        np.asarray(tree.coeffs, np.float64) * norms[dep_i]).astype(np.float32)
+    return rows
+
+
+def _build_grid(tree: Octree, rows: np.ndarray, gd: int) -> np.ndarray:
+    """grid[cell] = packed row of the unique depth<=gd node covering the
+    cell (host-side vectorized descent over all cells at once)."""
+    g = 1 << gd
+    ax = (np.arange(g, dtype=np.float64) + 0.5) / g - 0.5   # cell centres
+    px, py, pz = np.meshgrid(ax, ax, ax, indexing="ij")
+    pts = np.stack([px, py, pz], axis=-1).reshape(-1, 3)
+
+    child = np.asarray(tree.child_idx, np.int64)
+    centre = np.asarray(tree.centre, np.float64)
+    cur = np.zeros(pts.shape[0], np.int64)
+    for _ in range(gd):
+        c0 = child[cur]
+        live = c0 >= 0
+        cc = centre[cur]
+        oct_ = ((pts[:, 0] >= cc[:, 0]).astype(np.int64)
+                + ((pts[:, 1] >= cc[:, 1]).astype(np.int64) << 1)
+                + ((pts[:, 2] >= cc[:, 2]).astype(np.int64) << 2))
+        cur = np.where(live, c0 + oct_, cur)
+    return rows[cur]
+
+
+def pack_tree(tree: Octree, grid_depth: int | None = None) -> PackedTree:
+    """Derive the gather-optimized read layout from a fitted Octree."""
+    if grid_depth is None:
+        grid_depth = min(tree.depth_used, GRID_DEPTH_CAP)
+    rows = _pack_rows(tree)
+    grid = _build_grid(tree, rows, grid_depth)
+    return PackedTree(
+        rows=jnp.asarray(rows), grid=jnp.asarray(grid),
+        deg_used=tree.deg_used, grid_depth=grid_depth,
+        extra_rounds=max(0, tree.depth_used - grid_depth),
+        root_centre=tuple(np.asarray(tree.config.root_centre, np.float64)),
+        root_sizes=tuple(np.asarray(tree.config.root_sizes, np.float64)))
+
+
+# --------------------------------------------------------------------------
+# Device-side reading
+# --------------------------------------------------------------------------
+
+def _row_child(row: jax.Array) -> jax.Array:
+    return jax.lax.bitcast_convert_type(row[..., 0], jnp.int32)
+
+
+def to_unit(pt: PackedTree, pts: jax.Array) -> jax.Array:
+    centre = jnp.asarray(pt.root_centre, pts.dtype)
+    inv = jnp.asarray(1.0 / np.asarray(pt.root_sizes), pts.dtype)
+    return (pts - centre) * inv
+
+
+def locate(pt: PackedTree, unit: jax.Array) -> jax.Array:
+    """Packed row of the leaf containing each unit-cube point (B, W).
+
+    One grid gather + ``extra_rounds`` masked packed-descent rounds.
+    """
+    g = 1 << pt.grid_depth
+    cell = jnp.clip(((unit + 0.5) * g).astype(jnp.int32), 0, g - 1)
+    flat = (cell[..., 0] * g + cell[..., 1]) * g + cell[..., 2]
+    row = pt.grid[flat]                                   # (B, W) wide gather
+    for _ in range(pt.extra_rounds):
+        child = _row_child(row)
+        is_leaf = child < 0
+        cc = row[..., 2:5]
+        oct_ = ((unit[..., 0] >= cc[..., 0]).astype(jnp.int32)
+                + ((unit[..., 1] >= cc[..., 1]).astype(jnp.int32) << 1)
+                + ((unit[..., 2] >= cc[..., 2]).astype(jnp.int32) << 2))
+        nxt = jnp.where(is_leaf, jnp.int32(0), child + oct_)
+        new_row = pt.rows[nxt]
+        row = jnp.where(is_leaf[..., None], row, new_row)
+    return row
+
+
+def eval_row(pt: PackedTree, row: jax.Array, unit: jax.Array) -> jax.Array:
+    """Evaluate a packed leaf row at unit-cube points. Normalizers are
+    pre-folded, so this is the bare Legendre product sum."""
+    local = (unit - row[..., 2:5]) * row[..., 1:2]
+    idx = basis.basis_indices(pt.deg_used)
+    L = basis.legendre_all(local, pt.deg_used)           # (B, 3, P+1)
+    prod = (L[..., 0, idx[:, 0]] * L[..., 1, idx[:, 1]]
+            * L[..., 2, idx[:, 2]])                      # (B, C)
+    cw = idx.shape[0]
+    return jnp.sum(row[..., COEFF_LANE:COEFF_LANE + cw] * prod, axis=-1)
+
+
+def values_at(pt: PackedTree, pts: jax.Array) -> jax.Array:
+    """f32 SDF values at world points, boundary-clamped."""
+    unit = jnp.clip(to_unit(pt, pts), -0.5, 0.5)
+    return eval_row(pt, locate(pt, unit), unit)
+
+
+@jax.jit
+def query_packed(pt: PackedTree, pts: jax.Array) -> jax.Array:
+    """Batched f32 query on the packed layout (the serving-path equivalent
+    of Octree::Query, Source/HP/Octree.cpp:662-702; outside points return
+    f32 max as the reference does f64 max)."""
+    unit = to_unit(pt, pts)
+    inside = jnp.all(jnp.abs(unit) <= 0.5, axis=-1)
+    v = eval_row(pt, locate(pt, jnp.clip(unit, -0.5, 0.5)),
+                 jnp.clip(unit, -0.5, 0.5))
+    return jnp.where(inside, v, jnp.finfo(jnp.float32).max)

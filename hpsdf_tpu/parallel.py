@@ -113,15 +113,21 @@ def shard_trace(tree: Octree, origins, dirs, mesh: Mesh, t_max: float = 10.0,
     Multi-chip generalization of render.trace -- the BASELINE "Mrays/s"
     scaling path.
     """
+    from .accel import pack_tree
     from .render import TraceResult, trace as _trace
     origins = np.asarray(origins, np.float32)
     dirs = np.asarray(dirs, np.float32)
     o_p, b = _pad_batch(origins, mesh.shape[BATCH_AXIS])
     d_p, _ = _pad_batch(dirs, mesh.shape[BATCH_AXIS])
     stree = _shard_tree(tree, mesh, shard_nodes=False)
+    rep = NamedSharding(mesh, P())
+    packed = kw.pop("packed", None) or pack_tree(tree)
+    packed = dataclasses.replace(
+        packed, rows=jax.device_put(packed.rows, rep),
+        grid=jax.device_put(packed.grid, rep))
     sh = NamedSharding(mesh, P(BATCH_AXIS, None))
     res = _trace(stree, jax.device_put(o_p, sh),
-                 jax.device_put(d_p, sh), t_max=t_max, **kw)
+                 jax.device_put(d_p, sh), t_max=t_max, packed=packed, **kw)
     return TraceResult(res.t[:b], res.hit[:b], res.steps)
 
 

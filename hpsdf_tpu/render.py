@@ -5,27 +5,31 @@ TPU-native generalization of the reference's scalar ``Octree::QueryRay``
 and ``SDF::Ray`` slab intersection (Source/HP/Ray.cpp:17-65):
 
   * ``intersect_aabb``  <- Ray::IntersectAABB (slab method), vectorized.
-  * ``trace``           <- QueryRay: march <= MAX_STEPS with the same step
-    rule ``t += 0.95*v + 1e-4`` and hit test ``v < 1e-4``, but over a whole
-    ray batch as one ``lax.while_loop`` (converged lanes are masked out, the
-    loop ends when every lane has settled).
-  * ``render``          <- builds a pinhole-camera ray grid, traces, and
-    shades with analytic normals (the reference has no renderer; this is the
-    framework's flagship forward pass).
+  * ``trace``           <- QueryRay: same step rule ``t += 0.95*v + 1e-4``
+    and hit test ``v < 1e-4``, over a whole ray batch at once.
+  * ``render``          <- pinhole-camera ray grid + analytic-normal shading
+    (the reference has no renderer; this is the framework's flagship
+    forward pass).
 
-Differentiability: the march itself is a while_loop (not reverse-mode
-differentiable), so ``trace`` carries a custom VJP w.r.t. the coefficient
-array using implicit-function differentiation at the hit point:
+March structure (gather economics, see accel.py): an outer while_loop
+locates every ray's leaf with ONE wide gather (packed rows + dense grid),
+then an inner unrolled loop takes up to INNER_STEPS sphere-trace steps
+evaluating the *carried* leaf row -- pure VPU work, no gathers. Lanes that
+step out of their leaf freeze until the next outer relocation. This
+amortizes the dominant cost (row gathers) over several march steps.
+
+Differentiability: the march is a while_loop (not reverse-differentiable),
+so ``trace`` carries a custom VJP w.r.t. the coefficient array using
+implicit-function differentiation at the hit point:
 
     f(c, t) = 0  at the surface  =>  dt/dc = - (df/dc) / (df/dt),
     df/dt = grad_x f . dir.
 
-This is the "custom VJP through the march" requirement from SURVEY.md
-section 7 -- gradients flow through hit *positions*, not just the final
-distance evaluation.
+Gradients flow through hit *positions*, not just the final distance eval
+(SURVEY.md section 7, "custom VJP through the march"). The backward pass
+evaluates on the original (un-packed) tree arrays, which is exact.
 
-The whole path runs in f32: the fitted f64 coefficients are cast once inside
-the jitted program (render accuracy is bounded by hit_eps=1e-4 >> f32 eps).
+The whole path runs in f32 (render accuracy is bounded by hit_eps=1e-4).
 """
 
 from __future__ import annotations
@@ -34,24 +38,28 @@ import dataclasses
 import functools
 from typing import NamedTuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
-from . import basis
-from .tree import Octree
+from . import accel, basis
+from .accel import PackedTree, pack_tree
 from .query import descend
+from .tree import Octree
 
 # March constants (reference: Source/HP/Octree.cpp:725-743).
-MAX_STEPS = 200          # step cap               (:725)
-HIT_EPS = 1e-4           # |v| < eps  => surface  (:733)
-STEP_SCALE = 0.95        # 5% SDF-error safety    (:739)
-MIN_STEP = 1e-4          # minimum advance        (:739)
+MAX_STEPS = 200          # per-ray step cap        (:725)
+HIT_EPS = 1e-4           # |v| < eps  => surface   (:733)
+STEP_SCALE = 0.95        # 5% SDF-error safety     (:739)
+MIN_STEP = 1e-4          # minimum advance         (:739)
+INNER_STEPS = 6          # gather-free steps per leaf relocation
+LEAF_TOL = 1.0 + 1e-5    # |local| bound counting as "still in this leaf"
 
 
 class TraceResult(NamedTuple):
     t: jax.Array        # (B,) ray parameter at hit (or last march position)
     hit: jax.Array      # (B,) bool
-    steps: jax.Array    # () int32, march rounds actually executed
+    steps: jax.Array    # () int32, outer relocation rounds executed
 
 
 # --------------------------------------------------------------------------
@@ -63,25 +71,22 @@ def intersect_aabb(origins: jax.Array, dirs: jax.Array,
     """Batched slab-method ray/AABB intersection.
 
     Equivalent of Ray::IntersectAABB (Source/HP/Ray.cpp:17-65) without the
-    precomputed sign tables -- min/max over the reciprocal-direction slabs is
-    branch-free and vectorizes directly.
+    precomputed sign tables -- min/max over the reciprocal-direction slabs
+    is branch-free and vectorizes directly.
 
-    origins, dirs: (B, 3). Returns (t_near, t_far, hits) with hits a bool
-    mask; for rays starting inside the box t_near <= 0 <= t_far.
+    origins, dirs: (B, 3). Returns (t_near, t_far, hits); for rays starting
+    inside the box t_near <= 0 <= t_far.
     """
     inv = 1.0 / dirs                       # inf on zero components is fine
     lo = (jnp.asarray(aabb_min, origins.dtype) - origins) * inv
     hi = (jnp.asarray(aabb_max, origins.dtype) - origins) * inv
-    t0 = jnp.min(jnp.maximum(lo, hi), axis=-1)
-    t1 = jnp.max(jnp.minimum(lo, hi), axis=-1)
     t_near = jnp.max(jnp.minimum(lo, hi), axis=-1)
     t_far = jnp.min(jnp.maximum(lo, hi), axis=-1)
-    del t0, t1
     return t_near, t_far, (t_far >= jnp.maximum(t_near, 0.0))
 
 
 # --------------------------------------------------------------------------
-# Core march
+# Core march (packed layout)
 # --------------------------------------------------------------------------
 
 def _tree_f32(tree: Octree) -> Octree:
@@ -92,8 +97,8 @@ def _tree_f32(tree: Octree) -> Octree:
 
 
 def _values_at(tree: Octree, pts: jax.Array) -> jax.Array:
-    """f32 SDF values at world points, boundary-clamped (no outside
-    sentinel -- marching clamps t into the AABB interval instead)."""
+    """SDF values at world points via the generic (narrow-gather) path;
+    boundary-clamped. Used by the backward pass, where it runs once."""
     centre = jnp.asarray(tree.config.root_centre, pts.dtype)
     inv = jnp.asarray(1.0 / tree.config.root_sizes, pts.dtype)
     unit = jnp.clip((pts - centre) * inv, -0.5, 0.5)
@@ -104,44 +109,75 @@ def _values_at(tree: Octree, pts: jax.Array) -> jax.Array:
     return basis.eval_basis(tree.coeffs[leaf], local, depth, tree.deg_used)
 
 
-def _march(tree32: Octree, origins, dirs, t_max, hit_eps, max_steps):
-    """The while_loop march over a ray batch; all f32."""
-    lo, hi = tree32.root_aabb
-    t_near, t_far, hits_box = intersect_aabb(origins, dirs, lo, hi)
+def _eval_local(pt: PackedTree, row: jax.Array, local: jax.Array):
+    idx = basis.basis_indices(pt.deg_used)
+    L = basis.legendre_all(local, pt.deg_used)
+    prod = (L[..., 0, idx[:, 0]] * L[..., 1, idx[:, 1]]
+            * L[..., 2, idx[:, 2]])
+    cw = idx.shape[0]
+    return jnp.sum(row[..., accel.COEFF_LANE:accel.COEFF_LANE + cw] * prod,
+                   axis=-1)
+
+
+def _march(pt: PackedTree, origins, dirs, t_max, hit_eps, max_steps):
+    """Two-level while_loop march over a ray batch; all f32."""
+    half = 0.5 * jnp.asarray(pt.root_sizes, jnp.float32)
+    rc = jnp.asarray(pt.root_centre, jnp.float32)
+    t_near, t_far, hits_box = intersect_aabb(origins, dirs, rc - half,
+                                             rc + half)
     # Clamp the start to the AABB entry point (reference: Octree.cpp:714-721).
     t = jnp.maximum(t_near, 0.0)
     t_end = jnp.minimum(t_far, t_max)
     active0 = hits_box & (t <= t_end)
     hit0 = jnp.zeros_like(active0)
+    nsteps0 = jnp.zeros(t.shape, jnp.int32)
+    max_outer = max_steps          # safe cap: one relocation per step worst case
 
     def cond(state):
-        _, _, active, k = state
-        return jnp.logical_and(jnp.any(active), k < max_steps)
+        _, _, active, _, k = state
+        return jnp.logical_and(jnp.any(active), k < max_outer)
 
-    def body(state):
-        t, hit, active, k = state
+    def outer(state):
+        t, hit, active, nsteps, k = state
         p = origins + t[..., None] * dirs
-        v = _values_at(tree32, p)
-        now_hit = active & (v < hit_eps)
-        step = STEP_SCALE * v + MIN_STEP                     # (:739)
-        t_new = jnp.where(active & ~now_hit, t + step, t)
-        escaped = t_new > t_end
-        return (t_new, hit | now_hit, active & ~now_hit & ~escaped, k + 1)
+        unit = jnp.clip(accel.to_unit(pt, p), -0.5, 0.5)
+        row = accel.locate(pt, unit)                     # the wide gathers
 
-    t, hit, _, k = jax.lax.while_loop(
-        cond, body, (t, hit0, active0, jnp.int32(0)))
+        def inner(_, s):
+            t, hit, active, nsteps = s
+            unit = jnp.clip(accel.to_unit(
+                pt, origins + t[..., None] * dirs), -0.5, 0.5)
+            local = (unit - row[..., 2:5]) * row[..., 1:2]
+            in_leaf = jnp.all(jnp.abs(local) <= LEAF_TOL, axis=-1)
+            v = _eval_local(pt, row, local)
+            now_hit = active & in_leaf & (v < hit_eps)
+            stepping = active & in_leaf & ~now_hit
+            t_new = jnp.where(stepping, t + STEP_SCALE * v + MIN_STEP, t)
+            escaped = stepping & (t_new > t_end)
+            nsteps = nsteps + stepping.astype(jnp.int32)
+            active = (active & ~now_hit & ~escaped
+                      & (nsteps < max_steps))
+            return t_new, hit | now_hit, active, nsteps
+
+        t, hit, active, nsteps = jax.lax.fori_loop(
+            0, INNER_STEPS, inner, (t, hit, active, nsteps), unroll=True)
+        return t, hit, active, nsteps, k + 1
+
+    t, hit, _, _, k = jax.lax.while_loop(
+        cond, outer, (t, hit0, active0, nsteps0, jnp.int32(0)))
     return t, hit, k
 
 
 # --------------------------------------------------------------------------
 # Differentiable trace (custom VJP w.r.t. coefficients)
 # --------------------------------------------------------------------------
-
+#
 # ``static`` must stay hashable (custom_vjp nondiff args cannot hold
-# tracers), so the tree's device arrays travel as explicit arguments and the
-# Octree is rebuilt inside. Only ``coeffs`` carries a nonzero cotangent.
+# tracers), so device arrays travel as explicit arguments. Only ``coeffs``
+# carries a nonzero cotangent; the packed rows/grid are a read-optimized
+# *function of* coeffs used in the forward march only.
 
-def _rebuild(static, child_idx, centre, depth, coeffs) -> Octree:
+def _rebuild_tree(static, child_idx, centre, depth, coeffs) -> Octree:
     n_nodes, deg_used, depth_used, config = static[:4]
     return Octree(child_idx=child_idx, centre=centre, depth=depth,
                   degree=depth,  # unused on the read path; any i32[N] works
@@ -149,18 +185,23 @@ def _rebuild(static, child_idx, centre, depth, coeffs) -> Octree:
                   depth_used=depth_used, config=config)
 
 
+def _rebuild_packed(static, rows, grid) -> PackedTree:
+    pmeta = static[6]
+    return PackedTree(rows=rows, grid=grid, **pmeta)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _trace_core(static, child_idx, centre, depth, coeffs, origins, dirs,
-                t_max):
-    hit_eps, max_steps = static[4:]
-    tree32 = _rebuild(static, child_idx, centre, depth, coeffs)
-    return _march(tree32, origins, dirs, t_max, hit_eps, max_steps)
+def _trace_core(static, rows, grid, child_idx, centre, depth, coeffs,
+                origins, dirs, t_max):
+    hit_eps, max_steps = static[4:6]
+    pt = _rebuild_packed(static, rows, grid)
+    return _march(pt, origins, dirs, t_max, hit_eps, max_steps)
 
 
-def _trace_fwd(static, child_idx, centre, depth, coeffs, origins, dirs,
-               t_max):
-    out = _trace_core(static, child_idx, centre, depth, coeffs, origins,
-                      dirs, t_max)
+def _trace_fwd(static, rows, grid, child_idx, centre, depth, coeffs,
+               origins, dirs, t_max):
+    out = _trace_core(static, rows, grid, child_idx, centre, depth, coeffs,
+                      origins, dirs, t_max)
     t, hit, _ = out
     return out, (child_idx, centre, depth, coeffs, origins, dirs, t, hit)
 
@@ -171,12 +212,14 @@ def _trace_bwd(static, res, cts):
     p = origins + t[..., None] * dirs
 
     def f_of_c(c):
-        return _values_at(_rebuild(static, child_idx, centre, depth, c), p)
+        return _values_at(_rebuild_tree(static, child_idx, centre, depth, c),
+                          p)
 
     # df/dt = grad_x f . dir via forward-mode along the ray direction.
     def f_of_t(tv):
-        return _values_at(_rebuild(static, child_idx, centre, depth, coeffs),
-                          origins + tv[..., None] * dirs)
+        return _values_at(
+            _rebuild_tree(static, child_idx, centre, depth, coeffs),
+            origins + tv[..., None] * dirs)
 
     _, dfdt = jax.jvp(f_of_t, (t,), (jnp.ones_like(t),))
     # Implicit function theorem at f = 0: dt = -(df/dc)/(df/dt).
@@ -185,41 +228,74 @@ def _trace_bwd(static, res, cts):
     _, pull = jax.vjp(f_of_c, coeffs)
     (dcoeffs,) = pull(w)
 
-    def zct(x):  # int-dtype primals take float0 cotangents
+    def zct(x):
         if jnp.issubdtype(x.dtype, jnp.integer):
             return jnp.zeros(x.shape, dtype=jax.dtypes.float0)
         return jnp.zeros_like(x)
 
-    return (zct(child_idx), zct(centre), zct(depth), dcoeffs, zct(origins),
-            zct(dirs), jnp.zeros((), origins.dtype))
+    # order: rows, grid, child_idx, centre, depth, coeffs, origins, dirs, t_max
+    rows_z = jnp.zeros(static[7], jnp.float32)
+    grid_z = jnp.zeros(static[8], jnp.float32)
+    return (rows_z, grid_z, zct(child_idx), zct(centre), zct(depth), dcoeffs,
+            zct(origins), zct(dirs), jnp.zeros((), origins.dtype))
 
 
 _trace_core.defvjp(_trace_fwd, _trace_bwd)
 
 
-def _static_of(tree32: Octree, hit_eps, max_steps):
+def _static_of(tree32: Octree, pt: PackedTree, hit_eps, max_steps):
+    pmeta = _HashableMeta(dict(
+        deg_used=pt.deg_used, grid_depth=pt.grid_depth,
+        extra_rounds=pt.extra_rounds, root_centre=pt.root_centre,
+        root_sizes=pt.root_sizes))
     return (tree32.n_nodes, tree32.deg_used, tree32.depth_used, tree32.config,
-            hit_eps, max_steps)
+            hit_eps, max_steps, pmeta,
+            tuple(pt.rows.shape), tuple(pt.grid.shape))
+
+
+class _HashableMeta:
+    """Hashable dict wrapper for custom_vjp static state (supports ** via
+    keys/__getitem__)."""
+
+    def __init__(self, d):
+        self._d = dict(d)
+        self._key = tuple(sorted(d.items()))
+
+    def keys(self):
+        return self._d.keys()
+
+    def __getitem__(self, k):
+        return self._d[k]
+
+    def __hash__(self):
+        return hash(self._key)
+
+    def __eq__(self, other):
+        return isinstance(other, _HashableMeta) and self._key == other._key
 
 
 def trace(tree: Octree, origins: jax.Array, dirs: jax.Array,
           t_max: float = 10.0, hit_eps: float = HIT_EPS,
-          max_steps: int = MAX_STEPS) -> TraceResult:
+          max_steps: int = MAX_STEPS,
+          packed: PackedTree | None = None) -> TraceResult:
     """Sphere-trace a ray batch against the fitted octree.
 
-    origins, dirs: (B, 3) world-space (dirs need not be exactly unit-norm but
-    step sizing assumes it). Returns TraceResult(t, hit, steps). The ``t``
-    output is differentiable w.r.t. ``tree.coeffs`` (implicit-function VJP).
+    origins, dirs: (B, 3) world-space (dirs should be unit-norm). Returns
+    TraceResult(t, hit, steps); ``t`` is differentiable w.r.t. ``tree.coeffs``
+    (implicit-function VJP). Pass a precomputed ``packed=pack_tree(tree)``
+    when tracing repeatedly -- building it per call costs a host round trip.
 
     Batched equivalent of Octree::QueryRay (Source/HP/Octree.cpp:705-746).
     """
     tree32 = _tree_f32(tree)
+    if packed is None:
+        packed = pack_tree(tree)
     origins = jnp.asarray(origins, jnp.float32)
     dirs = jnp.asarray(dirs, jnp.float32)
     t, hit, steps = _trace_core(
-        _static_of(tree32, hit_eps, max_steps), tree32.child_idx,
-        tree32.centre, tree32.depth, tree32.coeffs, origins, dirs,
-        jnp.float32(t_max))
+        _static_of(tree32, packed, hit_eps, max_steps), packed.rows,
+        packed.grid, tree32.child_idx, tree32.centre, tree32.depth,
+        tree32.coeffs, origins, dirs, jnp.float32(t_max))
     return TraceResult(t, hit, steps)
 
 
@@ -247,18 +323,33 @@ def camera_rays(eye, look_at, up=(0.0, 1.0, 0.0), fov_deg: float = 40.0,
     return origins, d.reshape(-1, 3)
 
 
+def _normals_at(pt: PackedTree, p: jax.Array) -> jax.Array:
+    """Unit surface normals = normalized position-gradient of the packed
+    eval (analytic Legendre derivatives; the packed row is re-gathered once)."""
+    unit = jnp.clip(accel.to_unit(pt, p), -0.5, 0.5)
+    row = accel.locate(pt, unit)
+    local = (unit - row[..., 2:5]) * row[..., 1:2]
+    idx = basis.basis_indices(pt.deg_used)
+    L, dL = basis.legendre_all_with_derivative(local, pt.deg_used)
+    Lx, Ly, Lz = (L[..., a, idx[:, a]] for a in range(3))
+    dLx, dLy, dLz = (dL[..., a, idx[:, a]] for a in range(3))
+    cw = idx.shape[0]
+    cn = row[..., accel.COEFF_LANE:accel.COEFF_LANE + cw]
+    gx = jnp.sum(cn * dLx * Ly * Lz, axis=-1)
+    gy = jnp.sum(cn * Lx * dLy * Lz, axis=-1)
+    gz = jnp.sum(cn * Lx * Ly * dLz, axis=-1)
+    g = jnp.stack([gx, gy, gz], axis=-1)
+    # chain through local = (unit - centre)*scale and unit = (w - c)/sizes
+    g = g * row[..., 1:2] / jnp.asarray(pt.root_sizes, jnp.float32)
+    return g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-12)
+
+
 @functools.partial(jax.jit, static_argnames=("width", "height", "max_steps"))
-def _render_impl(tree32: Octree, origins, dirs, t_max, width, height,
+def _render_impl(pt: PackedTree, origins, dirs, t_max, width, height,
                  max_steps):
-    t, hit, _ = _trace_core(
-        _static_of(tree32, HIT_EPS, max_steps), tree32.child_idx,
-        tree32.centre, tree32.depth, tree32.coeffs, origins, dirs, t_max)
+    t, hit, _ = _march(pt, origins, dirs, t_max, HIT_EPS, max_steps)
     p = origins + t[..., None] * dirs
-    # analytic normal = unit gradient at the hit point
-    grad = jax.grad(lambda q: _values_at(tree32, q[None, :])[0])
-    normals = jax.vmap(grad)(p)
-    normals = normals / jnp.maximum(
-        jnp.linalg.norm(normals, axis=-1, keepdims=True), 1e-12)
+    normals = _normals_at(pt, p)
     # headlight Lambertian + small ambient
     lam = jnp.maximum(-jnp.sum(normals * dirs, axis=-1), 0.0)
     shade = jnp.where(hit, 0.15 + 0.85 * lam, 0.0)
@@ -270,11 +361,14 @@ def _render_impl(tree32: Octree, origins, dirs, t_max, width, height,
 
 def render(tree: Octree, eye, look_at, up=(0.0, 1.0, 0.0),
            fov_deg: float = 40.0, width: int = 256, height: int = 256,
-           t_max: float = 10.0, max_steps: int = MAX_STEPS):
+           t_max: float = 10.0, max_steps: int = MAX_STEPS,
+           packed: PackedTree | None = None):
     """Render the octree SDF with sphere tracing + normal shading.
 
     Returns (image (H, W, 3) f32 in [0,1], depth (H, W), hit (H, W) bool).
     """
+    if packed is None:
+        packed = pack_tree(tree)
     origins, dirs = camera_rays(eye, look_at, up, fov_deg, width, height)
-    return _render_impl(_tree_f32(tree), origins, dirs, jnp.float32(t_max),
+    return _render_impl(packed, origins, dirs, jnp.float32(t_max),
                         width, height, max_steps)

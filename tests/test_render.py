@@ -74,12 +74,14 @@ def test_trace_gradient_matches_fd(sphere_tree):
     o = jnp.asarray([[0.02, -0.03, -2.0]], jnp.float32)
     d = jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32)
     tree32 = render._tree_f32(sphere_tree)
-    static = render._static_of(tree32, render.HIT_EPS, 200)
+    packed = render.pack_tree(sphere_tree)
+    static = render._static_of(tree32, packed, render.HIT_EPS, 200)
 
     def t_march(coeffs):
         t, _, _ = render._trace_core(
-            static, tree32.child_idx, tree32.centre, tree32.depth,
-            coeffs.astype(jnp.float32), o, d, jnp.float32(5.0))
+            static, packed.rows, packed.grid, tree32.child_idx,
+            tree32.centre, tree32.depth, coeffs.astype(jnp.float32), o, d,
+            jnp.float32(5.0))
         return t[0]
 
     o64 = jnp.asarray(o, jnp.float64)
