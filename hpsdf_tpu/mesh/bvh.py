@@ -1,0 +1,129 @@
+"""Morton-ordered implicit BVH (LBVH) with batched stackless-ish traversal.
+
+TPU-native redesign of Meshing::BVH (reference: Source/Meshing/BVH.cpp).
+The reference builds bottom-up by greedy nearest-centroid pairing through an
+NNOctree (BVH.cpp:26-129) and queries best-first with per-thread priority
+queues (BVH.cpp:263-342). Neither shape suits a TPU:
+
+  * build: triangles are sorted by the Morton code of their centroid and a
+    PERFECT binary tree is laid over the sorted order (heap indexing: node i
+    has children 2i and 2i+1). The whole build is a sort plus level-by-level
+    vectorized AABB unions -- no pointer chasing, no host recursion.
+  * query: a batched depth-first descend-nearer/push-farther loop. The heap
+    layout means child indices are computed, not fetched; each iteration
+    costs two wide row gathers (node row = both children's AABBs, triangle
+    row = packed vertices+normals) which is the gather-economic optimum on
+    TPU (see accel.py). Per-lane stacks are small (tree depth) and
+    manipulated with one-hot masks, not scatter.
+
+Dummy padding triangles (coordinates ~1e30) fill the leaf level to a power
+of two; their AABBs never survive the pruning test.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import tri as _tri
+from .core import TriMesh
+
+BIG = 1e30
+TRI_W = 32            # packed triangle row width
+# triangle row lanes
+_V0, _V1, _V2 = 0, 3, 6          # vertices
+_FN = 9                          # face normal
+_VPN = 12                        # 3 vertex pseudo-normals (12, 15, 18)
+_EPN = 21                        # 3 edge pseudo-normals (21, 24, 27)
+
+
+def _morton3(x: np.ndarray) -> np.ndarray:
+    """Interleave 21-bit coordinates into 63-bit Morton codes. x: (T, 3)
+    normalized to [0, 1)."""
+    q = np.clip((x * (1 << 21)).astype(np.uint64), 0, (1 << 21) - 1)
+
+    def spread(v):
+        v &= np.uint64(0x1FFFFF)
+        v = (v | (v << np.uint64(32))) & np.uint64(0x1F00000000FFFF)
+        v = (v | (v << np.uint64(16))) & np.uint64(0x1F0000FF0000FF)
+        v = (v | (v << np.uint64(8))) & np.uint64(0x100F00F00F00F00F)
+        v = (v | (v << np.uint64(4))) & np.uint64(0x10C30C30C30C30C3)
+        v = (v | (v << np.uint64(2))) & np.uint64(0x1249249249249249)
+        return v
+
+    return (spread(q[:, 0]) | (spread(q[:, 1]) << np.uint64(1))
+            | (spread(q[:, 2]) << np.uint64(2)))
+
+
+def pack_triangles(mesh: TriMesh, order: np.ndarray) -> np.ndarray:
+    """(T2, TRI_W) f32 rows: vertices, face normal, vertex and edge
+    pseudo-normals -- everything the distance + sign evaluation needs from
+    ONE gather."""
+    T = order.size
+    rows = np.full((T, TRI_W), 0.0, np.float32)
+    fc = mesh.faces[order]
+    v = mesh.vertices
+    rows[:, _V0:_V0 + 3] = v[fc[:, 0]]
+    rows[:, _V1:_V1 + 3] = v[fc[:, 1]]
+    rows[:, _V2:_V2 + 3] = v[fc[:, 2]]
+    rows[:, _FN:_FN + 3] = mesh.face_normals[order]
+    for k in range(3):
+        rows[:, _VPN + 3 * k:_VPN + 3 * k + 3] = mesh.vertex_pn[fc[:, k]]
+        rows[:, _EPN + 3 * k:_EPN + 3 * k + 3] = mesh.edge_pn[order, k]
+    return rows
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BVH:
+    node_rows: jax.Array    # f32[T2, 16] heap nodes 1..T2-1: [lmin lmax rmin rmax pad]
+    tri_rows: jax.Array     # f32[T2, TRI_W] Morton-ordered packed triangles
+    n_tris: int = dataclasses.field(metadata=dict(static=True))       # real triangles
+    depth: int = dataclasses.field(metadata=dict(static=True))        # log2(T2)
+
+    @property
+    def n_leaves(self) -> int:
+        return self.tri_rows.shape[0]
+
+
+def build_bvh(mesh: TriMesh) -> BVH:
+    """Vectorized LBVH build (replaces BVH::Create, BVH.cpp:217-260)."""
+    T = mesh.n_faces
+    cent = mesh.vertices[mesh.faces].mean(axis=1)
+    lo, hi = cent.min(axis=0), cent.max(axis=0)
+    norm = (cent - lo) / np.maximum(hi - lo, 1e-300)
+    order = np.argsort(_morton3(norm), kind="stable").astype(np.int64)
+
+    T2 = 1 << max(0, (T - 1).bit_length())
+    tri_rows = np.full((T2, TRI_W), BIG, np.float32)
+    tri_rows[:T] = pack_triangles(mesh, order)
+
+    # leaf AABBs (dummies get +BIG boxes that never pass pruning)
+    tris = tri_rows[:, :9].reshape(T2, 3, 3).astype(np.float64)
+    bmin, bmax = _tri.triangle_aabbs(tris)
+    bmin, bmax = np.asarray(bmin), np.asarray(bmax)
+
+    # Level-by-level union up the heap. Heap leaves occupy ids T2..2*T2-1;
+    # every internal row stores BOTH children's AABBs so traversal computes
+    # child distances from one row gather.
+    node_rows = np.zeros((max(T2, 1), 16), np.float32)
+    cur_min, cur_max = bmin, bmax          # children of the deepest internal level
+    first = T2 // 2                        # first heap id of this internal level
+    while first >= 1:
+        l_min, l_max = cur_min[0::2], cur_max[0::2]
+        r_min, r_max = cur_min[1::2], cur_max[1::2]
+        idx = np.arange(first, 2 * first)
+        node_rows[idx, 0:3] = l_min
+        node_rows[idx, 3:6] = l_max
+        node_rows[idx, 6:9] = r_min
+        node_rows[idx, 9:12] = r_max
+        cur_min = np.minimum(l_min, r_min)
+        cur_max = np.maximum(l_max, r_max)
+        first //= 2
+
+    return BVH(node_rows=jnp.asarray(node_rows),
+               tri_rows=jnp.asarray(tri_rows),
+               n_tris=T, depth=max(0, (T - 1).bit_length()))

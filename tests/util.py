@@ -41,3 +41,61 @@ def torus_sdf(centre=(0.0, 0.0, 0.0), R=0.25, r=0.08):
 def uniform_pts(n, lo=-0.5, hi=0.5, seed=0):
     rng = np.random.default_rng(seed)
     return rng.uniform(lo, hi, (n, 3)).astype(np.float64)
+
+
+# -- procedural watertight meshes (the reference's large .obj assets are in
+#    .MISSING_LARGE_BLOBS and not present) ----------------------------------
+
+def cube_mesh(centre=(0.0, 0.0, 0.0), half=0.2):
+    """12-triangle axis-aligned cube, outward-oriented."""
+    c = np.asarray(centre, np.float64)
+    s = np.asarray(
+        [[x, y, z] for x in (-1, 1) for y in (-1, 1) for z in (-1, 1)],
+        np.float64)
+    v = c + half * s
+    quads = [  # (4 verts, CCW seen from outside)
+        (0, 1, 3, 2),   # -x
+        (4, 6, 7, 5),   # +x
+        (0, 4, 5, 1),   # -y
+        (2, 3, 7, 6),   # +y
+        (0, 2, 6, 4),   # -z
+        (1, 5, 7, 3),   # +z
+    ]
+    f = []
+    for a, b, cc, d in quads:
+        f.append((a, b, cc))
+        f.append((a, cc, d))
+    return v, np.asarray(f, np.int32)
+
+
+def icosphere_mesh(radius=0.3, subdivisions=3, centre=(0.0, 0.0, 0.0)):
+    """Subdivided icosahedron (watertight, ~20*4^s triangles)."""
+    t = (1.0 + np.sqrt(5.0)) / 2.0
+    v = np.asarray([
+        (-1, t, 0), (1, t, 0), (-1, -t, 0), (1, -t, 0),
+        (0, -1, t), (0, 1, t), (0, -1, -t), (0, 1, -t),
+        (t, 0, -1), (t, 0, 1), (-t, 0, -1), (-t, 0, 1)], np.float64)
+    f = np.asarray([
+        (0, 11, 5), (0, 5, 1), (0, 1, 7), (0, 7, 10), (0, 10, 11),
+        (1, 5, 9), (5, 11, 4), (11, 10, 2), (10, 7, 6), (7, 1, 8),
+        (3, 9, 4), (3, 4, 2), (3, 2, 6), (3, 6, 8), (3, 8, 9),
+        (4, 9, 5), (2, 4, 11), (6, 2, 10), (8, 6, 7), (9, 8, 1)], np.int64)
+    for _ in range(subdivisions):
+        edges = {}
+        verts = list(v)
+
+        def mid(a, b):
+            key = (min(a, b), max(a, b))
+            if key not in edges:
+                edges[key] = len(verts)
+                verts.append((verts[a] + verts[b]) / 2.0)
+            return edges[key]
+
+        nf = []
+        for a, b, c in f:
+            ab, bc, ca = mid(a, b), mid(b, c), mid(c, a)
+            nf += [(a, ab, ca), (b, bc, ab), (c, ca, bc), (ab, bc, ca)]
+        v = np.asarray(verts, np.float64)
+        f = np.asarray(nf, np.int64)
+    v = v / np.linalg.norm(v, axis=1, keepdims=True) * radius
+    return v + np.asarray(centre, np.float64), f.astype(np.int32)
