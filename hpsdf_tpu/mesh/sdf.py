@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from . import bvh as _bvh
 from . import tri as _tri
+from . import pallas_sdf as _pallas
 from .bvh import BVH, build_bvh
 from .core import TriMesh
 
@@ -208,8 +209,19 @@ def signed_distance_brute(tri_rows, pts, chunk: int = 128) -> jax.Array:
     return jnp.where(jnp.sum(pn * diff, axis=-1) >= 0.0, 1.0, -1.0) * dist
 
 
+def signed_distance_tiles(tri_rows, pts) -> jax.Array:
+    """Exact signed distances by the dense Pallas tile scan
+    (mesh/pallas_sdf.py) -- same contract as ``signed_distance_brute``
+    (Mesh::SignedDistanceAtPt without BVH, Mesh.cpp:42-51) but shaped for
+    the TPU VPU: one (triangles x points) distance-tile kernel instead of a
+    sequential scan, then sign on the single best triangle."""
+    p = jnp.asarray(pts, jnp.float32)
+    _, best_idx = _pallas.closest_tri_tiles(tri_rows, p)
+    return _signed_from_best(tri_rows, best_idx, p)
+
+
 def mesh_sdf(mesh: TriMesh, bvh: BVH | None = None,
-             max_iters: int | None = None):
+             max_iters: int | None = None, method: str = "bvh"):
     """Wrap a mesh as a batched SDF callable F: (K, 3) -> (K,) for
     build_octree (the reference wires this up in user/test code,
     MeshingUnitTests.cpp:110-138 + HPUnitTests.cpp:60-61).
@@ -219,9 +231,25 @@ def mesh_sdf(mesh: TriMesh, bvh: BVH | None = None,
     scan; the default bounds traversal at 48*depth iterations, which with
     the greedy seed is exact near the surface (where fit accuracy matters)
     and a tight upper bound deep inside. Pass ``max_iters=0`` for exact.
+
+    ``method``: "bvh" (default, pruned traversal), "tiles" (exact dense
+    Pallas tile scan -- O(T) per point but branch-free VPU work; the better
+    choice on TPU for small/medium meshes), or "auto" (tiles for meshes up
+    to ~16k triangles, bvh beyond).
     """
     if bvh is None:
         bvh = build_bvh(mesh)
+    if method == "auto":
+        method = "tiles" if bvh.n_leaves <= 16384 else "bvh"
+    if method == "tiles":
+        tri_rows = bvh.tri_rows
+
+        def F_tiles(pts):
+            return signed_distance_tiles(tri_rows, pts).astype(pts.dtype)
+
+        return F_tiles
+    if method != "bvh":
+        raise ValueError(f"unknown mesh_sdf method {method!r}")
     if max_iters is None:
         max_iters = 48 * max(bvh.depth, 1)
     elif max_iters == 0:
