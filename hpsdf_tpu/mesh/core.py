@@ -52,21 +52,28 @@ def build_mesh(vertices: np.ndarray, faces: np.ndarray) -> TriMesh:
     F = fc.shape[0]
 
     # --- half-edge pairing (reference: Mesh.cpp:87-131) --------------------
-    he_from = fc.ravel()                                  # (3F,)
-    he_to = fc[:, [1, 2, 0]].ravel()
-    key = (np.minimum(he_from, he_to).astype(np.int64) * v.shape[0]
-           + np.maximum(he_from, he_to))
-    order = np.argsort(key, kind="stable")
-    ks = key[order]
-    # each undirected edge must appear exactly twice, with opposite direction
-    if ks.size % 2 or not np.all(ks[0::2] == ks[1::2]):
-        raise NotWatertightError("unpaired edge (boundary or non-manifold)")
-    a, b = order[0::2], order[1::2]
-    if not np.all(he_from[a] == he_to[b]):
-        raise NotWatertightError("inconsistently oriented edge pair")
-    twin = np.empty(3 * F, np.int32)
-    twin[a] = b
-    twin[b] = a
+    # Native C++ pairing when built (hpsdf_tpu.native, same contract); the
+    # numpy sort-based pairing below is the fallback and oracle.
+    from .. import native as _native
+    twin = _native.half_edge_twins(fc, v.shape[0]) \
+        if _native.available() else None
+    if twin is None:
+        he_from = fc.ravel()                              # (3F,)
+        he_to = fc[:, [1, 2, 0]].ravel()
+        key = (np.minimum(he_from, he_to).astype(np.int64) * v.shape[0]
+               + np.maximum(he_from, he_to))
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        # each undirected edge must appear exactly twice, opposite direction
+        if ks.size % 2 or not np.all(ks[0::2] == ks[1::2]):
+            raise NotWatertightError(
+                "unpaired edge (boundary or non-manifold)")
+        a, b = order[0::2], order[1::2]
+        if not np.all(he_from[a] == he_to[b]):
+            raise NotWatertightError("inconsistently oriented edge pair")
+        twin = np.empty(3 * F, np.int32)
+        twin[a] = b
+        twin[b] = a
 
     # --- face normals -------------------------------------------------------
     e1 = v[fc[:, 1]] - v[fc[:, 0]]

@@ -13,13 +13,25 @@ from __future__ import annotations
 import numpy as np
 
 
-def load_obj(path: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+def load_obj(path: str, native: bool | None = None
+             ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Parse a triangle .obj file.
 
     Returns (vertices (V, 3) f64, faces (F, 3) i32 0-based, normals (V, 3)).
     Polygonal faces are fan-triangulated. Negative (relative) indices are
     resolved per the .obj spec.
+
+    ``native=None`` (default) uses the C++ parser (hpsdf_tpu.native) when
+    available and falls back to this Python implementation; True requires
+    the native parser; False forces Python.
     """
+    if native is not False:
+        from .. import native as _native
+        out = _native.load_obj(path) if _native.available() else None
+        if out is not None:
+            return out
+        if native:
+            raise RuntimeError("native obj parser unavailable")
     verts: list[list[float]] = []
     norms: list[list[float]] = []
     faces: list[tuple[int, int, int]] = []

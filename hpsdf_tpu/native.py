@@ -1,0 +1,132 @@
+"""ctypes bindings for the native host library (native/hpsdf_native.cpp).
+
+The reference's data pipeline is C++ (Meshing::ObjParser,
+Source/Meshing/ObjParser.cpp; Mesh::CreateHalfEdges, Mesh.cpp:87-131); this
+framework keeps those host-side stages native as well. The shared library is
+compiled on first use (g++, see native/Makefile); if no toolchain or source
+is available every caller falls back to the pure-numpy implementations in
+mesh/obj.py and mesh/core.py, which remain the behavioral oracles.
+
+Set HPSDF_NO_NATIVE=1 to force the Python paths.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_PKG_DIR = os.path.dirname(os.path.abspath(__file__))
+_NATIVE_DIR = os.path.join(os.path.dirname(_PKG_DIR), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libhpsdf_native.so")
+
+_lock = threading.Lock()
+_lib: ctypes.CDLL | None = None
+_tried = False
+
+
+class _ObjData(ctypes.Structure):
+    _fields_ = [
+        ("verts", ctypes.POINTER(ctypes.c_double)),
+        ("normals", ctypes.POINTER(ctypes.c_double)),
+        ("faces", ctypes.POINTER(ctypes.c_int32)),
+        ("n_verts", ctypes.c_int64),
+        ("n_faces", ctypes.c_int64),
+    ]
+
+
+def _build() -> bool:
+    src = os.path.join(_NATIVE_DIR, "hpsdf_native.cpp")
+    if not os.path.exists(src):
+        return False
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-std=c++17", "-fPIC", "-shared",
+             "-o", _LIB_PATH, src],
+            check=True, capture_output=True, timeout=300)
+        return True
+    except (OSError, subprocess.SubprocessError):
+        return False
+
+
+def _load() -> ctypes.CDLL | None:
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("HPSDF_NO_NATIVE", "0") == "1":
+            return None
+        if not os.path.exists(_LIB_PATH) and not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            return None
+        lib.hpsdf_parse_obj.restype = ctypes.c_int
+        lib.hpsdf_parse_obj.argtypes = [ctypes.c_char_p,
+                                        ctypes.POINTER(_ObjData)]
+        lib.hpsdf_free_obj.argtypes = [ctypes.POINTER(_ObjData)]
+        lib.hpsdf_half_edges.restype = ctypes.c_int
+        lib.hpsdf_half_edges.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32)]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    """True when the native library is loaded (building it if needed)."""
+    return _load() is not None
+
+
+def load_obj(path: str):
+    """Native .obj parse. Returns (vertices (V,3) f64, faces (F,3) i32,
+    vertex normals (V,3) f64) with the exact semantics of
+    mesh.obj.load_obj, or None if the native library is unavailable.
+    Raises OSError / ValueError on unreadable / malformed files."""
+    lib = _load()
+    if lib is None:
+        return None
+    data = _ObjData()
+    rc = lib.hpsdf_parse_obj(os.fsencode(path), ctypes.byref(data))
+    if rc == 1:
+        raise OSError(f"cannot open {path!r}")
+    if rc != 0:
+        raise ValueError(f"malformed .obj file {path!r}")
+    try:
+        V, F = data.n_verts, data.n_faces
+        v = np.ctypeslib.as_array(data.verts, (V, 3)).copy() if V else \
+            np.zeros((0, 3), np.float64)
+        n = np.ctypeslib.as_array(data.normals, (V, 3)).copy() if V else \
+            np.zeros((0, 3), np.float64)
+        f = np.ctypeslib.as_array(data.faces, (F, 3)).copy() if F else \
+            np.zeros((0, 3), np.int32)
+    finally:
+        lib.hpsdf_free_obj(ctypes.byref(data))
+    return v, f, n
+
+
+def half_edge_twins(faces: np.ndarray, n_verts: int):
+    """Native half-edge pairing. faces: (F, 3) int32. Returns the (3F,)
+    int32 twin array, or None if the native library is unavailable.
+    Raises mesh.core.NotWatertightError on boundary / non-manifold /
+    mis-oriented edges (same contract as the numpy path)."""
+    lib = _load()
+    if lib is None:
+        return None
+    fc = np.ascontiguousarray(faces, np.int32)
+    twin = np.empty(3 * fc.shape[0], np.int32)
+    rc = lib.hpsdf_half_edges(
+        fc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        fc.shape[0], int(n_verts),
+        twin.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    if rc != 0:
+        from .mesh.core import NotWatertightError
+        raise NotWatertightError(
+            "unpaired edge (boundary or non-manifold)" if rc == 1
+            else "inconsistently oriented edge pair")
+    return twin

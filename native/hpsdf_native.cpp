@@ -1,0 +1,236 @@
+// hpsdf_tpu native host library: .obj parsing + half-edge pairing.
+//
+// The reference implements its data pipeline in C++ (Meshing::ObjParser,
+// Source/Meshing/ObjParser.cpp, and Mesh::CreateHalfEdges,
+// Source/Meshing/Mesh.cpp:87-131). These are host-side, allocation-heavy
+// tasks with no TPU mapping, so this framework keeps them native too: a
+// small C ABI shared library bound via ctypes (hpsdf_tpu/native.py), with
+// the pure-numpy implementations as behavioral oracles and fallback.
+//
+// Semantics intentionally mirror hpsdf_tpu/mesh/obj.py and core.py exactly
+// (same fan triangulation, negative-index resolution, vertex-normal
+// accumulation, watertightness checks) so the Python and native paths are
+// differential-testable against each other.
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <cmath>
+#include <unordered_map>
+#include <vector>
+
+extern "C" {
+
+struct ObjData {
+  double* verts;     // (n_verts, 3)
+  double* normals;   // (n_verts, 3) unit vertex normals
+  int32_t* faces;    // (n_faces, 3) 0-based
+  int64_t n_verts;
+  int64_t n_faces;
+};
+
+// ---------------------------------------------------------------------------
+// .obj parsing (ObjParser equivalent)
+// ---------------------------------------------------------------------------
+
+namespace {
+
+inline const char* skip_ws(const char* p) {
+  while (*p == ' ' || *p == '\t' || *p == '\r') ++p;
+  return p;
+}
+
+// Parse one face token "v", "v/vt", "v//vn", "v/vt/vn". Returns vertex index
+// (1-based or negative) in *vi and normal index in *ni (0 = absent).
+inline const char* parse_face_token(const char* p, long* vi, long* ni) {
+  char* end;
+  *vi = std::strtol(p, &end, 10);
+  *ni = 0;
+  p = end;
+  if (*p == '/') {
+    ++p;
+    if (*p != '/') std::strtol(p, &end, 10), p = end;  // vt (ignored)
+    if (*p == '/') {
+      ++p;
+      *ni = std::strtol(p, &end, 10);
+      p = end;
+    }
+  }
+  return p;
+}
+
+}  // namespace
+
+// Returns 0 on success, 1 on file-open failure, 2 on malformed data.
+int hpsdf_parse_obj(const char* path, ObjData* out) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return 1;
+
+  std::vector<double> verts, norms;
+  std::vector<int32_t> faces;
+  std::vector<int64_t> face_norm_idx;  // 3 per tri when present
+  verts.reserve(3 << 12);
+  faces.reserve(3 << 12);
+
+  char line[8192];
+  std::vector<long> idx, nidx;
+  while (std::fgets(line, sizeof line, f)) {
+    const char* p = line;
+    if (p[0] == 'v' && (p[1] == ' ' || p[1] == '\t')) {
+      char* end;
+      p += 2;
+      double x = std::strtod(p, &end);
+      double y = std::strtod(end, &end);
+      double z = std::strtod(end, &end);
+      verts.push_back(x);
+      verts.push_back(y);
+      verts.push_back(z);
+    } else if (p[0] == 'v' && p[1] == 'n' && (p[2] == ' ' || p[2] == '\t')) {
+      char* end;
+      p += 3;
+      double x = std::strtod(p, &end);
+      double y = std::strtod(end, &end);
+      double z = std::strtod(end, &end);
+      norms.push_back(x);
+      norms.push_back(y);
+      norms.push_back(z);
+    } else if (p[0] == 'f' && (p[1] == ' ' || p[1] == '\t')) {
+      p = skip_ws(p + 2);
+      idx.clear();
+      nidx.clear();
+      const long nv = (long)(verts.size() / 3);
+      const long nn = (long)(norms.size() / 3);
+      while (*p && *p != '\n' && *p != '\r' && *p != '#') {
+        long vi, ni;
+        p = parse_face_token(p, &vi, &ni);
+        idx.push_back(vi > 0 ? vi - 1 : nv + vi);
+        if (ni != 0) nidx.push_back(ni > 0 ? ni - 1 : nn + ni);
+        p = skip_ws(p);
+      }
+      const bool with_n = nidx.size() == idx.size() && !nidx.empty();
+      for (size_t k = 1; k + 1 < idx.size(); ++k) {  // fan triangulation
+        long a = idx[0], b = idx[k], c = idx[k + 1];
+        if (a < 0 || b < 0 || c < 0 || a >= nv || b >= nv || c >= nv) {
+          std::fclose(f);
+          return 2;
+        }
+        faces.push_back((int32_t)a);
+        faces.push_back((int32_t)b);
+        faces.push_back((int32_t)c);
+        if (with_n) {
+          face_norm_idx.push_back(nidx[0]);
+          face_norm_idx.push_back(nidx[k]);
+          face_norm_idx.push_back(nidx[k + 1]);
+        }
+      }
+    }
+  }
+  std::fclose(f);
+
+  const int64_t V = (int64_t)(verts.size() / 3);
+  const int64_t F = (int64_t)(faces.size() / 3);
+  double* vout = (double*)std::malloc(sizeof(double) * 3 * (size_t)V);
+  double* nout = (double*)std::calloc(3 * (size_t)V, sizeof(double));
+  int32_t* fout = (int32_t*)std::malloc(sizeof(int32_t) * 3 * (size_t)F);
+  if ((V && (!vout || !nout)) || (F && !fout)) {
+    std::free(vout); std::free(nout); std::free(fout);
+    return 2;
+  }
+  std::memcpy(vout, verts.data(), sizeof(double) * 3 * (size_t)V);
+  std::memcpy(fout, faces.data(), sizeof(int32_t) * 3 * (size_t)F);
+
+  // Vertex normals: average the file's normals onto vertices when every
+  // face corner carried one; otherwise accumulate unit face normals
+  // (reference: ObjParser.cpp:141-164; mirrors mesh/obj.py).
+  if (!norms.empty() && (int64_t)face_norm_idx.size() == 3 * F) {
+    const int64_t nn = (int64_t)(norms.size() / 3);
+    for (int64_t t = 0; t < 3 * F; ++t) {
+      int64_t vtx = fout[t];
+      int64_t ni = face_norm_idx[(size_t)t];
+      if (ni < 0 || ni >= nn) continue;
+      for (int d = 0; d < 3; ++d)
+        nout[3 * vtx + d] += norms[(size_t)(3 * ni + d)];
+    }
+  } else {
+    for (int64_t t = 0; t < F; ++t) {
+      const int32_t* fc = fout + 3 * t;
+      const double* a = vout + 3 * fc[0];
+      const double* b = vout + 3 * fc[1];
+      const double* c = vout + 3 * fc[2];
+      double e1[3] = {b[0] - a[0], b[1] - a[1], b[2] - a[2]};
+      double e2[3] = {c[0] - a[0], c[1] - a[1], c[2] - a[2]};
+      double fn[3] = {e1[1] * e2[2] - e1[2] * e2[1],
+                      e1[2] * e2[0] - e1[0] * e2[2],
+                      e1[0] * e2[1] - e1[1] * e2[0]};
+      double len = std::sqrt(fn[0] * fn[0] + fn[1] * fn[1] + fn[2] * fn[2]);
+      if (len > 0)
+        for (int d = 0; d < 3; ++d) fn[d] /= len;
+      for (int k = 0; k < 3; ++k)
+        for (int d = 0; d < 3; ++d) nout[3 * fc[k] + d] += fn[d];
+    }
+  }
+  for (int64_t vtx = 0; vtx < V; ++vtx) {
+    double* n = nout + 3 * vtx;
+    double len = std::sqrt(n[0] * n[0] + n[1] * n[1] + n[2] * n[2]);
+    if (len > 0)
+      for (int d = 0; d < 3; ++d) n[d] /= len;
+  }
+
+  out->verts = vout;
+  out->normals = nout;
+  out->faces = fout;
+  out->n_verts = V;
+  out->n_faces = F;
+  return 0;
+}
+
+void hpsdf_free_obj(ObjData* d) {
+  std::free(d->verts);
+  std::free(d->normals);
+  std::free(d->faces);
+  d->verts = d->normals = nullptr;
+  d->faces = nullptr;
+  d->n_verts = d->n_faces = 0;
+}
+
+// ---------------------------------------------------------------------------
+// Half-edge pairing (Mesh::CreateHalfEdges equivalent, Mesh.cpp:87-131)
+// ---------------------------------------------------------------------------
+
+// faces: (n_faces, 3) int32; twin_out: (3 * n_faces) int32 receiving the
+// paired half-edge of flat half-edge 3*f+e (edge faces[f,e]->faces[f,e+1]).
+// Returns 0 ok, 1 = unpaired edge (boundary / non-manifold),
+// 2 = inconsistently oriented pair (both half-edges same direction).
+int hpsdf_half_edges(const int32_t* faces, int64_t n_faces, int64_t n_verts,
+                     int32_t* twin_out) {
+  const int64_t H = 3 * n_faces;
+  std::unordered_map<uint64_t, int64_t> open;  // undirected key -> half-edge
+  open.reserve((size_t)H);
+  for (int64_t h = 0; h < H; ++h) {
+    const int64_t f = h / 3, e = h % 3;
+    const int64_t u = faces[3 * f + e];
+    const int64_t w = faces[3 * f + (e + 1) % 3];
+    const uint64_t lo = (uint64_t)(u < w ? u : w);
+    const uint64_t hi = (uint64_t)(u < w ? w : u);
+    const uint64_t key = lo * (uint64_t)n_verts + hi;
+    auto it = open.find(key);
+    if (it == open.end()) {
+      open.emplace(key, h);
+    } else {
+      const int64_t g = it->second;
+      const int64_t gf = g / 3, ge = g % 3;
+      const int64_t gu = faces[3 * gf + ge];
+      // opposite orientation required: this he runs u->w, stored runs w->u
+      if (gu != w) return 2;
+      twin_out[h] = (int32_t)g;
+      twin_out[g] = (int32_t)h;
+      open.erase(it);
+    }
+  }
+  return open.empty() ? 0 : 1;
+}
+
+const char* hpsdf_version() { return "hpsdf_native 1"; }
+
+}  // extern "C"

@@ -1,0 +1,82 @@
+"""Native C++ host library vs the pure-Python oracles (obj parsing and
+half-edge pairing; reference: Source/Meshing/ObjParser.cpp and
+Mesh::CreateHalfEdges, Mesh.cpp:87-131)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from hpsdf_tpu import native
+from hpsdf_tpu.mesh.core import NotWatertightError, build_mesh
+from hpsdf_tpu.mesh.obj import load_obj
+
+from .util import cube_mesh, icosphere_mesh
+
+REF_OBJ = "/root/reference/Resources/halfedge_fail.obj"
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native library unavailable")
+
+
+def _write_obj(path, text):
+    with open(path, "w") as f:
+        f.write(text)
+    return str(path)
+
+
+SYNTH = """# synthetic: all three face formats, a quad, negative indices
+v 0 0 0
+v 1 0 0
+v 0 1 0
+v 0 0 1
+vn 0 0 1
+vn 0 1 0
+vt 0.5 0.5
+f 1 2 3
+f 1/1/1 2/1/2 4/1/1
+f 1//2 3//1 4//2
+f -4 -3 -2 -1
+"""
+
+
+def test_parse_synthetic_matches_python(tmp_path):
+    p = _write_obj(tmp_path / "synth.obj", SYNTH)
+    vn_, fn_, nn_ = load_obj(p, native=True)
+    vp, fp, np_ = load_obj(p, native=False)
+    np.testing.assert_array_equal(fn_, fp)
+    np.testing.assert_allclose(vn_, vp)
+    np.testing.assert_allclose(nn_, np_, atol=1e-12)
+    assert fn_.dtype == np.int32 and vn_.dtype == np.float64
+
+
+def test_parse_reference_asset_matches_python():
+    if not os.path.exists(REF_OBJ):
+        pytest.skip("reference asset missing")
+    vn_, fn_, nn_ = load_obj(REF_OBJ, native=True)
+    vp, fp, np_ = load_obj(REF_OBJ, native=False)
+    np.testing.assert_array_equal(fn_, fp)
+    np.testing.assert_allclose(vn_, vp)
+    np.testing.assert_allclose(nn_, np_, atol=1e-12)
+    assert fn_.shape[0] > 1000
+
+
+@pytest.mark.parametrize("maker", [cube_mesh,
+                                   lambda: icosphere_mesh(0.3, 3)])
+def test_half_edges_match_python(maker, monkeypatch):
+    v, f = maker()
+    twins_native = native.half_edge_twins(np.asarray(f, np.int32), len(v))
+    monkeypatch.setenv("HPSDF_NO_NATIVE", "1")
+    # the env var is read at load time; force the numpy path via build_mesh
+    # on a fresh import state by calling the fallback directly
+    import hpsdf_tpu.native as nat
+    monkeypatch.setattr(nat, "_lib", None)
+    monkeypatch.setattr(nat, "_tried", True)
+    m = build_mesh(v, f)
+    np.testing.assert_array_equal(twins_native.reshape(-1, 3), m.twin)
+
+
+def test_half_edges_reject_open_mesh():
+    v, f = cube_mesh()
+    with pytest.raises(NotWatertightError):
+        native.half_edge_twins(np.asarray(f, np.int32)[:-1], len(v))
