@@ -10,7 +10,9 @@ narrow gathers per point; at 1M-point batches that is ~90 ms per evaluation
 This module re-lays the octree for reading:
 
   * **Packed node row** ``f32[W]`` per node, W a multiple of 8:
-      lane 0      : child_idx bitcast i32->f32 (exact; -1 for leaves)
+      lane 0      : child_idx + 1 bitcast i32->f32 (0.0 for leaves; the +1
+                    keeps every lane finite -- a raw -1 bitcasts to NaN and
+                    would poison the full-row dot products below)
       lane 1      : scale = 2**(depth+1) (precomputed, replaces exp2+depth)
       lanes 2..4  : cell centre (internal unit-cube coords)
       lanes 8..   : coefficients with the (depth, basis) normalizers
@@ -18,6 +20,14 @@ This module re-lays the octree for reading:
                     through a constant diagonal)
     One W-wide gather fetches everything a descent step or a leaf
     evaluation needs.
+
+  * **Whole-row consumption.** XLA propagates slices INTO a gather: a
+    gathered row consumed as ``row[..., 2:5]``/``row[..., 8:]`` compiles to
+    several NARROW gathers, which measured 2-5x slower than one wide gather
+    on v5e. Every read therefore consumes the full row: descent/eval
+    metadata is extracted with a one-hot (W, 4) matmul and the coefficient
+    contraction zero-pads the basis products to width W and reduces
+    ``sum(row * prod_full)``.
 
   * **Dense leaf-row grid** at depth Dg = min(depth_used, GRID_DEPTH_CAP):
     grid[cell] is the full packed row of the unique node at depth <= Dg
@@ -73,7 +83,7 @@ def _pack_rows(tree: Octree) -> np.ndarray:
     W = COEFF_LANE + cw
     W = -(-W // 8) * 8
     rows = np.zeros((n, W), np.float32)
-    child = np.asarray(tree.child_idx, np.int32)
+    child = np.asarray(tree.child_idx, np.int32) + 1    # 0 = leaf, finite
     rows[:, 0] = child.view(np.float32)
     depth = np.asarray(tree.depth, np.float64)
     rows[:, 1] = np.exp2(depth + 1.0).astype(np.float32)
@@ -127,7 +137,22 @@ def pack_tree(tree: Octree, grid_depth: int | None = None) -> PackedTree:
 # --------------------------------------------------------------------------
 
 def _row_child(row: jax.Array) -> jax.Array:
-    return jax.lax.bitcast_convert_type(row[..., 0], jnp.int32)
+    # lane 0 stores child_idx + 1 (see module docstring); < 0 means leaf
+    return jax.lax.bitcast_convert_type(row[..., 0], jnp.int32) - 1
+
+
+@functools.lru_cache(maxsize=None)
+def _meta_matrix(width: int):
+    """One-hot (W, 4) extractor: row @ M = [scale, cx, cy, cz]. Consuming
+    the full row through one matmul keeps the producing gather WIDE."""
+    m = np.zeros((width, 4), np.float32)
+    m[1, 0] = m[2, 1] = m[3, 2] = m[4, 3] = 1.0
+    return m          # numpy: a cached jnp array would leak trace-time tracers
+
+
+def row_meta(row: jax.Array) -> jax.Array:
+    """(B, 4) = [scale, centre xyz] extracted via full-row matmul."""
+    return row @ _meta_matrix(row.shape[-1])
 
 
 def to_unit(pt: PackedTree, pts: jax.Array) -> jax.Array:
@@ -148,7 +173,7 @@ def locate(pt: PackedTree, unit: jax.Array) -> jax.Array:
     for _ in range(pt.extra_rounds):
         child = _row_child(row)
         is_leaf = child < 0
-        cc = row[..., 2:5]
+        cc = row_meta(row)[..., 1:4]
         oct_ = ((unit[..., 0] >= cc[..., 0]).astype(jnp.int32)
                 + ((unit[..., 1] >= cc[..., 1]).astype(jnp.int32) << 1)
                 + ((unit[..., 2] >= cc[..., 2]).astype(jnp.int32) << 2))
@@ -158,16 +183,29 @@ def locate(pt: PackedTree, unit: jax.Array) -> jax.Array:
     return row
 
 
-def eval_row(pt: PackedTree, row: jax.Array, unit: jax.Array) -> jax.Array:
+def pad_products(prod: jax.Array, width: int) -> jax.Array:
+    """Zero-pad (B, C) basis products to (B, W) at the coefficient lanes so
+    the contraction consumes the packed row whole."""
+    b = prod.shape[:-1]
+    cw = prod.shape[-1]
+    return jnp.concatenate(
+        [jnp.zeros(b + (COEFF_LANE,), prod.dtype), prod,
+         jnp.zeros(b + (width - COEFF_LANE - cw,), prod.dtype)], axis=-1)
+
+
+def eval_row(pt: PackedTree, row: jax.Array, unit: jax.Array,
+             meta: jax.Array | None = None) -> jax.Array:
     """Evaluate a packed leaf row at unit-cube points. Normalizers are
-    pre-folded, so this is the bare Legendre product sum."""
-    local = (unit - row[..., 2:5]) * row[..., 1:2]
+    pre-folded, so this is the bare Legendre product sum. Pass ``meta``
+    (``row_meta(row)``) when it is already at hand."""
+    if meta is None:
+        meta = row_meta(row)
+    local = (unit - meta[..., 1:4]) * meta[..., 0:1]
     idx = basis.basis_indices(pt.deg_used)
     L = basis.legendre_all(local, pt.deg_used)           # (B, 3, P+1)
     prod = (L[..., 0, idx[:, 0]] * L[..., 1, idx[:, 1]]
             * L[..., 2, idx[:, 2]])                      # (B, C)
-    cw = idx.shape[0]
-    return jnp.sum(row[..., COEFF_LANE:COEFF_LANE + cw] * prod, axis=-1)
+    return jnp.sum(row * pad_products(prod, row.shape[-1]), axis=-1)
 
 
 def values_at(pt: PackedTree, pts: jax.Array) -> jax.Array:
