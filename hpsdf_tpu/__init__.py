@@ -32,6 +32,7 @@ from .api import (build_octree, query, query_with_gradient, query_grid,
                   union_sdf, subtract_sdf, intersect_sdf)  # noqa: E402
 from .accel import pack_tree  # noqa: E402
 from .viz import output_function_slice, function_slice  # noqa: E402
+from . import inverse  # noqa: E402
 from .render import (trace, camera_rays, intersect_aabb,  # noqa: E402
                      render as render_image)
 from . import render as _render_mod  # noqa: E402,F401
@@ -45,6 +46,6 @@ __all__ = [
     "build_octree", "query", "query_with_gradient", "query_grid",
     "union_sdf", "subtract_sdf", "intersect_sdf", "pack_tree",
     "trace", "render_image", "camera_rays", "intersect_aabb", "render",
-    "output_function_slice", "function_slice",
+    "output_function_slice", "function_slice", "inverse",
 ]
 __version__ = "0.1.0"

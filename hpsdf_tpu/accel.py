@@ -96,9 +96,9 @@ def _pack_rows(tree: Octree) -> np.ndarray:
     return rows
 
 
-def _build_grid(tree: Octree, rows: np.ndarray, gd: int) -> np.ndarray:
-    """grid[cell] = packed row of the unique depth<=gd node covering the
-    cell (host-side vectorized descent over all cells at once)."""
+def _grid_sources(tree: Octree, gd: int) -> np.ndarray:
+    """Node index of the unique depth<=gd node covering each grid cell
+    (host-side vectorized descent over all cells at once)."""
     g = 1 << gd
     ax = (np.arange(g, dtype=np.float64) + 0.5) / g - 0.5   # cell centres
     px, py, pz = np.meshgrid(ax, ax, ax, indexing="ij")
@@ -115,7 +115,7 @@ def _build_grid(tree: Octree, rows: np.ndarray, gd: int) -> np.ndarray:
                 + ((pts[:, 1] >= cc[:, 1]).astype(np.int64) << 1)
                 + ((pts[:, 2] >= cc[:, 2]).astype(np.int64) << 2))
         cur = np.where(live, c0 + oct_, cur)
-    return rows[cur]
+    return cur
 
 
 def pack_tree(tree: Octree, grid_depth: int | None = None) -> PackedTree:
@@ -123,13 +123,53 @@ def pack_tree(tree: Octree, grid_depth: int | None = None) -> PackedTree:
     if grid_depth is None:
         grid_depth = min(tree.depth_used, GRID_DEPTH_CAP)
     rows = _pack_rows(tree)
-    grid = _build_grid(tree, rows, grid_depth)
+    grid = rows[_grid_sources(tree, grid_depth)]
     return PackedTree(
         rows=jnp.asarray(rows), grid=jnp.asarray(grid),
         deg_used=tree.deg_used, grid_depth=grid_depth,
         extra_rounds=max(0, tree.depth_used - grid_depth),
         root_centre=tuple(np.asarray(tree.config.root_centre, np.float64)),
         root_sizes=tuple(np.asarray(tree.config.root_sizes, np.float64)))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PackSupport:
+    """Static structure needed to re-derive a PackedTree from NEW
+    coefficients on device (the tree topology is fixed; only the
+    coefficient lanes change). This is what makes gradient-based
+    coefficient optimization (inverse rendering) jit-able end to end:
+    ``repack`` is a pure device function of ``coeffs``."""
+    meta_rows: jax.Array    # f32[Np, COEFF_LANE] lanes 0..7 of the rows
+    fold: jax.Array         # f32[Np, cw] per-(depth, basis) normalizers
+    grid_src: jax.Array     # i32[G**3] node index backing each grid cell
+
+
+def pack_support(tree: Octree, grid_depth: int | None = None) -> PackSupport:
+    if grid_depth is None:
+        grid_depth = min(tree.depth_used, GRID_DEPTH_CAP)
+    rows = _pack_rows(tree)
+    norms = basis.coeff_norms(tree.deg_used)
+    dep_i = np.asarray(tree.depth, np.int64)
+    return PackSupport(
+        meta_rows=jnp.asarray(rows[:, :COEFF_LANE]),
+        fold=jnp.asarray(norms[dep_i].astype(np.float32)),
+        grid_src=jnp.asarray(_grid_sources(tree, grid_depth), np.int32))
+
+
+def repack(packed: PackedTree, support: PackSupport,
+           coeffs: jax.Array) -> PackedTree:
+    """Rebuild (rows, grid) for new coefficients, on device. ``coeffs``:
+    (Np, cw) in any float dtype; the result matches ``pack_tree`` on a tree
+    carrying those coefficients (up to f32 rounding of the fold product)."""
+    folded = (coeffs * support.fold).astype(jnp.float32)
+    W = packed.rows.shape[1]
+    pad = W - COEFF_LANE - folded.shape[1]
+    parts = [support.meta_rows, folded]
+    if pad:
+        parts.append(jnp.zeros((folded.shape[0], pad), jnp.float32))
+    rows = jnp.concatenate(parts, axis=1)
+    return dataclasses.replace(packed, rows=rows, grid=rows[support.grid_src])
 
 
 # --------------------------------------------------------------------------

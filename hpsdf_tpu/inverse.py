@@ -1,0 +1,166 @@
+"""Differentiable inverse rendering: optimize octree coefficients from
+target depth images.
+
+This is the end-to-end differentiable loop the reference cannot express
+(its QueryRay is a scalar CPU march, Source/HP/Octree.cpp:705-746, with no
+gradients): sphere-trace a ray batch through the fitted tree, compare hit
+depths against targets, and pull the loss back to the node coefficients
+through the implicit-function VJP of the march (render.py). Each step
+re-derives the packed read layout from the current coefficients on device
+(accel.repack), so the whole optimization is one jitted scan.
+
+Scaling note: the forward/backward trace is batched over rays, so sharding
+the ray axis with parallel.shard_trace-style pjit and psum-ing the
+coefficient gradient extends this to multi-chip meshes unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import accel, render as R
+from .tree import Octree
+
+
+class InverseResult(NamedTuple):
+    tree: Octree          # tree carrying the optimized coefficients
+    losses: jax.Array     # (n_steps,) f32 loss trajectory
+
+
+def depth_loss(t, hit, target_t, target_hit):
+    """Masked L2 depth loss: rays counted only where both the current and
+    the target trace hit (miss/hit disagreement is non-differentiable)."""
+    m = (hit & target_hit).astype(jnp.float32)
+    n = jnp.maximum(jnp.sum(m), 1.0)
+    return jnp.sum(m * (t - target_t) ** 2) / n
+
+
+def fit_to_depth(tree: Octree, origins, dirs, target_t, target_hit,
+                 n_steps: int = 100, lr: float = 3e-3, t_max: float = 10.0,
+                 max_steps: int = R.MAX_STEPS,
+                 surface_weight: float = 1.0,
+                 depth_weight: float = 0.1,
+                 anchor_weight: float = 1.0,
+                 eikonal_weight: float = 0.1) -> InverseResult:
+    """Gradient-descent the tree's coefficients so its sphere-traced depths
+    match ``target_t`` on ``target_hit`` rays (Adam, jitted lax.scan).
+
+    origins, dirs: (B, 3); target_t: (B,); target_hit: (B,) bool.
+
+    The loss combines (a) the marched-depth L2 through the implicit-function
+    VJP of the trace, (b) ``surface_weight`` * [f(x*)^2 at the target hit
+    points x* = o + t* d, plus sign-band hinges at x* -+ band along the
+    ray: f must stay positive a band BEFORE the target surface and go
+    negative a band BEHIND it]. The field terms are required for
+    convergence, not a frill: the depth term's gradient reaches only the
+    coefficients of the leaf the ray currently hits in (the surface stalls
+    at the first leaf boundary it would have to cross), and the bare f^2
+    term alone lets f TOUCH zero without crossing (the march steps over
+    such a dip). Together they differentiate the field at and around the
+    TARGET points, reaching the correct leaves with the correct sign.
+    ``anchor_weight`` * mean((c - c0)^2) regularizes toward the initial
+    coefficients: the constraints are sparse point samples and an
+    unregularized polynomial basis oscillates wildly between them (the
+    field stops being SDF-like and the march misbehaves); anchoring to a
+    valid SDF keeps the deformation minimal. ``eikonal_weight`` *
+    (|grad f| - 1)^2 at the band points keeps the optimized field
+    metric (IGR-style): sphere tracing assumes |grad f| <= 1, and an
+    unconstrained fit develops slopes >> 1 at the new surface, which makes
+    even a capped march overshoot the crossing."""
+    import optax
+
+    tree32 = R._tree_f32(tree)
+    packed = accel.pack_tree(tree)
+    support = accel.pack_support(tree)
+    # capped march: a half-optimized field is not a metric SDF, and the
+    # uncapped sphere trace would step over its thin zero-crossing band
+    static = R._static_of(tree32, packed, R.HIT_EPS, max_steps,
+                          step_cap=0.02)
+    origins = jnp.asarray(origins, jnp.float32)
+    dirs = jnp.asarray(dirs, jnp.float32)
+    target_t = jnp.asarray(target_t, jnp.float32)
+    target_hit = jnp.asarray(target_hit)
+    tm = jnp.float32(t_max)
+
+    opt = optax.adam(lr)
+    coeffs0 = tree.coeffs.astype(jnp.float32)
+    band = jnp.float32(0.02)
+    surf_pts = origins + target_t[..., None] * dirs
+    out_pts = origins + (target_t - band)[..., None] * dirs
+    in_pts = origins + (target_t + band)[..., None] * dirs
+    # free-space carving samples: stratified points strictly before the
+    # target surface must stay positive (prevents spurious early surfaces)
+    fracs = jnp.asarray([0.35, 0.6, 0.8, 0.93], jnp.float32)
+    free_pts = (origins[None] + (fracs[:, None, None]
+                                 * target_t[None, :, None]) * dirs[None])
+    surf_m = target_hit.astype(jnp.float32)
+    surf_n = jnp.maximum(jnp.sum(surf_m), 1.0)
+    sw = jnp.float32(surface_weight)
+    half = band * 0.5
+
+    def loss_fn(coeffs):
+        c32 = coeffs.astype(jnp.float32)
+        pk = accel.repack(packed, support, c32)
+        t, hit, _ = R._trace_core(
+            static, pk.rows, pk.grid, tree32.child_idx, tree32.centre,
+            tree32.depth, c32, origins, dirs, tm)
+        loss = jnp.float32(depth_weight) * depth_loss(
+            t, hit, target_t, target_hit)
+        tr = R._rebuild_tree(static, tree32.child_idx, tree32.centre,
+                             tree32.depth, c32)
+        fsurf = R._values_at(tr, surf_pts)
+        f_in = R._values_at(tr, in_pts)       # want <= -band/2 (inside)
+        f_out = R._values_at(tr, out_pts)     # want >= +band/2 (outside)
+        f_free = R._values_at(tr, free_pts.reshape(-1, 3))
+        field = (fsurf ** 2
+                 + jax.nn.relu(f_in + half) ** 2
+                 + jax.nn.relu(half - f_out) ** 2)
+        free = jnp.sum(surf_m[None]
+                       * jax.nn.relu(half
+                                     - f_free.reshape(free_pts.shape[:2]))
+                       ** 2) / (surf_n * fracs.shape[0])
+        anchor = jnp.float32(anchor_weight) * jnp.mean(
+            (c32 - coeffs0) ** 2)
+        # eikonal: per-point spatial gradients of the band points in one
+        # backward pass (grad of the sum = per-point gradient)
+        band_pts = jnp.concatenate([surf_pts, in_pts, out_pts], axis=0)
+        gpts = jax.grad(lambda P: jnp.sum(R._values_at(tr, P)))(band_pts)
+        # eps inside the sqrt: a zero spatial gradient (flat fit, or a
+        # masked miss-ray point) has a NaN norm-gradient otherwise
+        gnorm = jnp.sqrt(jnp.sum(gpts * gpts, axis=-1) + 1e-12)
+        m3 = jnp.concatenate([surf_m, surf_m, surf_m], axis=0)
+        eik = (jnp.float32(eikonal_weight)
+               * jnp.sum(m3 * (gnorm - 1.0) ** 2) / (3.0 * surf_n))
+        return (loss + sw * (jnp.sum(surf_m * field) / surf_n + free)
+                + anchor + eik)
+
+    @jax.jit
+    def run(coeffs0):
+        def step(carry, _):
+            coeffs, opt_state = carry
+            loss, g = jax.value_and_grad(loss_fn)(coeffs)
+            updates, opt_state = opt.update(g, opt_state, coeffs)
+            return (optax.apply_updates(coeffs, updates), opt_state), loss
+
+        state0 = (coeffs0, opt.init(coeffs0))
+        (coeffs, _), losses = jax.lax.scan(step, state0, None,
+                                           length=n_steps)
+        return coeffs, losses
+
+    coeffs, losses = run(coeffs0)
+    out = dataclasses.replace(tree, coeffs=coeffs.astype(tree.coeffs.dtype))
+    return InverseResult(tree=out, losses=losses)
+
+
+def render_targets(tree: Octree, origins, dirs, t_max: float = 10.0,
+                   step_cap: float | None = None):
+    """Trace a reference tree to produce (target_t, target_hit) for
+    fit_to_depth. Pass ``step_cap~=0.02`` when tracing a PARTIALLY
+    OPTIMIZED tree (its field is not a metric SDF and the uncapped sphere
+    trace can step over the surface)."""
+    res = R.trace(tree, origins, dirs, t_max=t_max, step_cap=step_cap)
+    return res.t, res.hit

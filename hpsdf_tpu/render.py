@@ -131,11 +131,20 @@ def _eval_local(pt: PackedTree, row: jax.Array, local: jax.Array):
 MARCH_CHUNK = 4096
 
 
-def _march(pt: PackedTree, origins, dirs, t_max, hit_eps, max_steps):
-    """Chunked two-level march over a ray batch; all f32."""
+def _march(pt: PackedTree, origins, dirs, t_max, hit_eps, max_steps,
+           step_cap=None):
+    """Chunked two-level march over a ray batch; all f32.
+
+    ``step_cap`` bounds the per-step advance. Sphere tracing assumes f is
+    (nearly) a metric SDF; a partially-optimized field (inverse rendering)
+    can report huge distances just outside a thin zero-crossing band and
+    the uncapped march steps straight over the surface. A cap of the order
+    of the crossing-band width restores robustness at bounded extra steps.
+    """
     B = origins.shape[0]
     if B <= MARCH_CHUNK:
-        return _march_block(pt, origins, dirs, t_max, hit_eps, max_steps)
+        return _march_block(pt, origins, dirs, t_max, hit_eps, max_steps,
+                            step_cap)
     pad = (-B) % MARCH_CHUNK
     if pad:
         # padded rays point along +z from beyond the root AABB: never active
@@ -150,12 +159,14 @@ def _march(pt: PackedTree, origins, dirs, t_max, hit_eps, max_steps):
     oc = origins.reshape(-1, MARCH_CHUNK, 3)
     dc = dirs.reshape(-1, MARCH_CHUNK, 3)
     t, hit, k = jax.lax.map(
-        lambda od: _march_block(pt, od[0], od[1], t_max, hit_eps, max_steps),
+        lambda od: _march_block(pt, od[0], od[1], t_max, hit_eps, max_steps,
+                                step_cap),
         (oc, dc))
     return t.reshape(-1)[:B], hit.reshape(-1)[:B], jnp.max(k)
 
 
-def _march_block(pt: PackedTree, origins, dirs, t_max, hit_eps, max_steps):
+def _march_block(pt: PackedTree, origins, dirs, t_max, hit_eps, max_steps,
+                 step_cap=None):
     """Two-level while_loop march over one ray chunk; all f32."""
     half = 0.5 * jnp.asarray(pt.root_sizes, jnp.float32)
     rc = jnp.asarray(pt.root_centre, jnp.float32)
@@ -188,7 +199,10 @@ def _march_block(pt: PackedTree, origins, dirs, t_max, hit_eps, max_steps):
             v = _eval_local(pt, row, local)
             now_hit = active & in_leaf & (v < hit_eps)
             stepping = active & in_leaf & ~now_hit
-            t_new = jnp.where(stepping, t + STEP_SCALE * v + MIN_STEP, t)
+            adv = STEP_SCALE * v + MIN_STEP
+            if step_cap is not None:
+                adv = jnp.minimum(adv, jnp.float32(step_cap))
+            t_new = jnp.where(stepping, t + adv, t)
             escaped = stepping & (t_new > t_end)
             nsteps = nsteps + stepping.astype(jnp.int32)
             active = (active & ~now_hit & ~escaped
@@ -230,8 +244,9 @@ def _rebuild_packed(static, rows, grid) -> PackedTree:
 def _trace_core(static, rows, grid, child_idx, centre, depth, coeffs,
                 origins, dirs, t_max):
     hit_eps, max_steps = static[4:6]
+    step_cap = static[9] if len(static) > 9 else None
     pt = _rebuild_packed(static, rows, grid)
-    return _march(pt, origins, dirs, t_max, hit_eps, max_steps)
+    return _march(pt, origins, dirs, t_max, hit_eps, max_steps, step_cap)
 
 
 def _trace_fwd(static, rows, grid, child_idx, centre, depth, coeffs,
@@ -279,14 +294,15 @@ def _trace_bwd(static, res, cts):
 _trace_core.defvjp(_trace_fwd, _trace_bwd)
 
 
-def _static_of(tree32: Octree, pt: PackedTree, hit_eps, max_steps):
+def _static_of(tree32: Octree, pt: PackedTree, hit_eps, max_steps,
+               step_cap=None):
     pmeta = _HashableMeta(dict(
         deg_used=pt.deg_used, grid_depth=pt.grid_depth,
         extra_rounds=pt.extra_rounds, root_centre=pt.root_centre,
         root_sizes=pt.root_sizes))
     return (tree32.n_nodes, tree32.deg_used, tree32.depth_used, tree32.config,
             hit_eps, max_steps, pmeta,
-            tuple(pt.rows.shape), tuple(pt.grid.shape))
+            tuple(pt.rows.shape), tuple(pt.grid.shape), step_cap)
 
 
 class _HashableMeta:
@@ -313,7 +329,8 @@ class _HashableMeta:
 def trace(tree: Octree, origins: jax.Array, dirs: jax.Array,
           t_max: float = 10.0, hit_eps: float = HIT_EPS,
           max_steps: int = MAX_STEPS,
-          packed: PackedTree | None = None) -> TraceResult:
+          packed: PackedTree | None = None,
+          step_cap: float | None = None) -> TraceResult:
     """Sphere-trace a ray batch against the fitted octree.
 
     origins, dirs: (B, 3) world-space (dirs should be unit-norm). Returns
@@ -329,7 +346,7 @@ def trace(tree: Octree, origins: jax.Array, dirs: jax.Array,
     origins = jnp.asarray(origins, jnp.float32)
     dirs = jnp.asarray(dirs, jnp.float32)
     t, hit, steps = _trace_core(
-        _static_of(tree32, packed, hit_eps, max_steps), packed.rows,
+        _static_of(tree32, packed, hit_eps, max_steps, step_cap), packed.rows,
         packed.grid, tree32.child_idx, tree32.centre, tree32.depth,
         tree32.coeffs, origins, dirs, jnp.float32(t_max))
     return TraceResult(t, hit, steps)

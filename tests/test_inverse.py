@@ -1,0 +1,72 @@
+"""Inverse rendering (BASELINE.json config #5, scaled down): optimize the
+coefficients of a sphere tree so its traced depths match a differently-sized
+target sphere. Exercises accel.repack + the implicit-function VJP end to
+end inside one jitted scan."""
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import hpsdf_tpu as hp
+from hpsdf_tpu import accel, inverse
+from hpsdf_tpu.render import camera_rays
+
+from .util import sphere_sdf
+
+
+def _tree(radius):
+    cfg = hp.Config(target_error=1e-6, continuity=False, max_depth=4,
+                    max_degree=3)
+    return hp.build_octree(cfg, sphere_sdf(radius=radius))
+
+
+@pytest.fixture(scope="module")
+def trees():
+    return _tree(0.30), _tree(0.33)
+
+
+def test_repack_matches_pack_tree(trees):
+    tree, _ = trees
+    packed = accel.pack_tree(tree)
+    support = accel.pack_support(tree)
+    re = accel.repack(packed, support, tree.coeffs)
+    np.testing.assert_allclose(np.asarray(re.rows), np.asarray(packed.rows),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(re.grid), np.asarray(packed.grid),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_repack_tracks_new_coeffs(trees):
+    tree, other = trees
+    packed = accel.pack_tree(tree)
+    support = accel.pack_support(tree)
+    re = accel.repack(packed, support, other.coeffs)
+    want = accel.pack_tree(dataclasses.replace(tree, coeffs=other.coeffs))
+    np.testing.assert_allclose(np.asarray(re.rows), np.asarray(want.rows),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_fit_to_depth_recovers_target(trees):
+    init, target = trees
+    o, d = camera_rays((0.0, 0.0, -1.8), (0.0, 0.0, 0.0),
+                       width=32, height=32)
+    tgt_t, tgt_hit = inverse.render_targets(target, o, d, t_max=5.0)
+
+    def depth_err(tree):
+        ft, fh = inverse.render_targets(tree, o, d, t_max=5.0,
+                                        step_cap=0.02)
+        m = np.asarray(fh & tgt_hit)
+        return np.abs(np.asarray(ft) - np.asarray(tgt_t))[m]
+
+    err0 = depth_err(init)
+    res = inverse.fit_to_depth(init, o, d, tgt_t, tgt_hit,
+                               n_steps=300, lr=1e-3, t_max=5.0)
+    losses = np.asarray(res.losses)
+    assert np.isfinite(losses).all()
+    err = depth_err(res.tree)
+    # the optimization shrinks the median traced-depth error substantially
+    assert np.median(err) < 0.25 * np.median(err0), (
+        np.median(err0), np.median(err))
+    assert np.median(err) < 5e-3
