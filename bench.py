@@ -2,6 +2,12 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
+``python bench.py --suite`` additionally runs the full benchmark suite
+mirroring the reference's Tests executable (Source/Tests/HPBenchmarks.cpp
+:25-236 and MeshingBenchmarks.cpp:24-111 -- fit, fit+continuity, 8M random
+/ grid / gradient queries, union rebuild, obj parse, mesh build, BVH build,
+BVH and brute-force signed-distance queries) and writes BENCH_SUITE.json.
+
 Protocol
 --------
 * Fit a sphere octree on the host CPU backend (the f64 fit path; TPU f64 is
@@ -88,6 +94,150 @@ def time_trace(packed, device, width, height, reps):
     return (width * height) / dt / 1e6, n_hit
 
 
+# --------------------------------------------------------------------------
+# Full suite (reference: HPBenchmarks.cpp + MeshingBenchmarks.cpp)
+# --------------------------------------------------------------------------
+
+REF_OBJ = "/root/reference/Resources/halfedge_fail.obj"
+
+
+def _amortized(fn, args, reps):
+    """Seconds per call, REPS calls inside one jitted fori_loop (defeats
+    the axon tunnel's per-(executable, args) caching; see module doc)."""
+    def loop(*a):
+        def body(i, acc):
+            out = fn(*((a[0] + i.astype(a[0].dtype) * 1e-7,) + a[1:]))
+            return acc + jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32))
+        return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
+
+    jl = jax.jit(loop)
+    float(jl(*args))
+    bumped = (args[0] + 0.5e-7,) + args[1:]
+    t0 = time.perf_counter()
+    float(jl(*bumped))
+    return (time.perf_counter() - t0) / reps
+
+
+def run_suite():
+    import os
+
+    import hpsdf_tpu.mesh as M
+    from hpsdf_tpu import native
+    from hpsdf_tpu.mesh import sdf as msdf
+    from hpsdf_tpu.mesh.obj import load_obj
+    from hpsdf_tpu.mesh.core import build_mesh
+    from hpsdf_tpu.render import _normals_at
+
+    results = []
+    dev = jax.devices()[0]
+    cpu = jax.devices("cpu")[0]
+    rng = np.random.default_rng(0)
+
+    def rec(metric, value, unit, **detail):
+        row = {"metric": metric, "value": round(value, 4), "unit": unit,
+               "device": str(dev.platform), **detail}
+        results.append(row)
+        print(json.dumps(row))
+
+    def sphere(p):
+        return jnp.linalg.norm(p, axis=-1) - 0.3
+
+    # --- fit (HPBenchmarks.cpp:25-48: sphere + exp weighting) -------------
+    cfg = hp.Config(target_error=1e-7, continuity=False, max_depth=5,
+                    max_degree=6,
+                    nearness_weighting=hp.NearnessWeighting.EXPONENTIAL,
+                    nearness_strength=1.0)
+    with jax.default_device(cpu):
+        t0 = time.perf_counter()
+        tree = hp.build_octree(cfg, sphere)
+        rec("octree_fit_sphere", time.perf_counter() - t0, "s",
+            nodes=tree.n_nodes)
+
+        # --- fit + continuity (HPBenchmarks.cpp:51-75) ---------------------
+        cfgc = hp.Config(target_error=1e-6, continuity=True,
+                         continuity_strength=8.0, max_depth=5, max_degree=4)
+        t0 = time.perf_counter()
+        tree_c = hp.build_octree(cfgc, sphere)
+        rec("octree_fit_continuity", time.perf_counter() - t0, "s",
+            nodes=tree_c.n_nodes)
+
+        # --- union rebuild (HPBenchmarks.cpp:206-236) ----------------------
+        def box(p):
+            q = jnp.abs(p) - 0.2
+            return (jnp.linalg.norm(jnp.maximum(q, 0.0), axis=-1)
+                    + jnp.minimum(jnp.max(q, axis=-1), 0.0))
+
+        t0 = time.perf_counter()
+        hp.union_sdf(tree, box)
+        rec("union_rebuild", time.perf_counter() - t0, "s")
+
+    packed = jax.tree.map(lambda x: jax.device_put(np.asarray(x), dev),
+                          accel.pack_tree(tree))
+
+    # --- 8M random queries (HPBenchmarks.cpp:78-115) -----------------------
+    N = 8 << 20
+    pts = jax.device_put(rng.uniform(-0.5, 0.5, (N, 3)).astype(np.float32),
+                         dev)
+    dt = _amortized(lambda p: accel.query_packed(packed, p), (pts,), 5)
+    rec("query_random_8m", N / dt / 1e6, "Mqueries/s")
+
+    # --- 8M grid queries, 200^3 pattern (HPBenchmarks.cpp:118-166) --------
+    g = 200
+    ax = np.linspace(-0.5, 0.5, g, dtype=np.float32)
+    gx, gy, gz = np.meshgrid(ax, ax, ax, indexing="ij")
+    gpts = jax.device_put(
+        np.stack([gx, gy, gz], -1).reshape(-1, 3), dev)
+    dt = _amortized(lambda p: accel.query_packed(packed, p), (gpts,), 5)
+    rec("query_grid_200cubed", gpts.shape[0] / dt / 1e6, "Mqueries/s")
+
+    # --- 8M gradient queries (HPBenchmarks.cpp:169-203) --------------------
+    def qgrad(p):
+        return accel.values_at(packed, p), _normals_at(packed, p)
+
+    dt = _amortized(qgrad, (pts,), 5)
+    rec("query_with_gradient_8m", N / dt / 1e6, "Mqueries/s")
+
+    # --- mesh pipeline (MeshingBenchmarks.cpp:24-111) ----------------------
+    if os.path.exists(REF_OBJ):
+        t0 = time.perf_counter()
+        v, f, _ = load_obj(REF_OBJ)
+        rec("obj_parse", time.perf_counter() - t0, "s", faces=int(len(f)),
+            native=native.available())
+        # the reference asset is intentionally non-watertight; benchmark
+        # the half-edge attempt on it, then use a procedural mesh below
+        t0 = time.perf_counter()
+        try:
+            build_mesh(v, f)
+        except Exception:
+            pass
+        rec("mesh_build_halfedges", time.perf_counter() - t0, "s")
+
+    from tests.util import icosphere_mesh
+
+    vi, fi = icosphere_mesh(radius=0.3, subdivisions=5)   # 20480 tris
+    mesh = build_mesh(vi, fi)
+    t0 = time.perf_counter()
+    bvh = M.build_bvh(mesh)
+    jax.block_until_ready(bvh.tri_rows)
+    rec("bvh_build", time.perf_counter() - t0, "s", tris=mesh.n_faces)
+
+    qp = jax.device_put(rng.uniform(-0.5, 0.5, (10240, 3)).astype(np.float32),
+                        dev)
+    bvh_dev = jax.tree.map(lambda x: jax.device_put(np.asarray(x), dev), bvh)
+    dt = _amortized(lambda p: msdf.signed_distance(bvh_dev, p), (qp,), 3)
+    rec("bvh_signed_distance_10k", qp.shape[0] / dt / 1e3, "Kqueries/s",
+        tris=mesh.n_faces)
+
+    dt = _amortized(
+        lambda p: msdf.signed_distance_tiles(bvh_dev.tri_rows, p), (qp,), 3)
+    rec("tiles_signed_distance_10k", qp.shape[0] / dt / 1e3, "Kqueries/s",
+        tris=mesh.n_faces, kernel="pallas")
+
+    with open("BENCH_SUITE.json", "w") as fh:
+        json.dump(results, fh, indent=1)
+    return results
+
+
 def main():
     tree, fit_s = build_tree()
     packed = accel.pack_tree(tree)
@@ -118,4 +268,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--suite" in sys.argv:
+        run_suite()
+    else:
+        main()
