@@ -52,7 +52,8 @@ MAX_STEPS = 200          # per-ray step cap        (:725)
 HIT_EPS = 1e-4           # |v| < eps  => surface   (:733)
 STEP_SCALE = 0.95        # 5% SDF-error safety     (:739)
 MIN_STEP = 1e-4          # minimum advance         (:739)
-INNER_STEPS = 6          # gather-free steps per leaf relocation
+INNER_STEPS = 4          # gather-free steps per leaf relocation (v5e sweep:
+                         # 4 edges out 3/6/8 across chunk sizes)
 LEAF_TOL = 1.0 + 1e-5    # |local| bound counting as "still in this leaf"
 
 
