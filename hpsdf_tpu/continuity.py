@@ -353,12 +353,114 @@ def _cg_solve(rows, cols, vals, s, diag, b, x0, n: int, tol, max_iter: int):
 
 
 # --------------------------------------------------------------------------
+# Sharded CG solve (multi-chip)
+# --------------------------------------------------------------------------
+
+def _cg_solve_sharded(mesh, rows, cols, vals, s, diag, b, x0, n: int,
+                      tol, max_iter: int):
+    """Row-sharded CG over all devices of ``mesh`` (SURVEY.md section 7.4:
+    "global sharded CG ... matvec via segment-sum of per-face blocks").
+
+    Layout: the coefficient vector is block-partitioned across devices; COO
+    entries are assigned to the device owning their output ROW, padded to
+    equal per-device counts. Each matvec all-gathers x over ICI (the vector
+    is a few MB -- cheap next to the segment-sum) and reduces locally; CG
+    inner products are psum'd scalars.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax import shard_map
+
+    devs = mesh.devices.reshape(-1)
+    cgmesh = jax.sharding.Mesh(devs, ("cg",))
+    ndev = devs.size
+    n_loc = -(-n // ndev)
+    n_pad = n_loc * ndev
+
+    def padv(v, fill):
+        out = np.full(n_pad, fill, np.float64)
+        out[:n] = v
+        return out
+
+    shard_of = rows // n_loc
+    order = np.argsort(shard_of, kind="stable")
+    rows, cols, vals, shard_of = (rows[order], cols[order], vals[order],
+                                  shard_of[order])
+    counts = np.bincount(shard_of, minlength=ndev)
+    e_max = max(int(counts.max(initial=0)), 1)
+    lrows = np.zeros((ndev, e_max), np.int64)     # padding -> row 0, val 0
+    gcols = np.zeros((ndev, e_max), np.int64)
+    gvals = np.zeros((ndev, e_max), np.float64)
+    ofs = 0
+    for k in range(ndev):
+        c = int(counts[k])
+        lrows[k, :c] = rows[ofs:ofs + c] - k * n_loc
+        gcols[k, :c] = cols[ofs:ofs + c]
+        gvals[k, :c] = vals[ofs:ofs + c]
+        ofs += c
+
+    def solve(lr_, gc_, gv_, diag_l, b_l, x0_l):
+        lr_, gc_, gv_ = lr_[0], gc_[0], gv_[0]
+
+        def matvec(xl):
+            xg = jax.lax.all_gather(xl, "cg", tiled=True)     # (n_pad,)
+            return jax.ops.segment_sum(
+                gv_ * xg[gc_], lr_, num_segments=n_loc) + s * xl
+
+        def pdot(u, v):
+            return jax.lax.psum(jnp.vdot(u, v), "cg")
+
+        minv = 1.0 / diag_l
+        x = x0_l
+        r = b_l - matvec(x)
+        z = minv * r
+        p = z
+        rz = pdot(r, z)
+        thresh = tol * tol * pdot(b_l, b_l)
+
+        def cond(state):
+            _, r, _, _, k = state
+            return (pdot(r, r) > thresh) & (k < max_iter)
+
+        def body(state):
+            x, r, p, rz, k = state
+            Ap = matvec(p)
+            alpha = rz / pdot(p, Ap)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = minv * r
+            rz_new = pdot(r, z)
+            p = z + (rz_new / rz) * p
+            return x, r, p, rz_new, k + 1
+
+        x, *_ = jax.lax.while_loop(cond, body, (x, r, p, rz, 0))
+        return x
+
+    fn = jax.jit(shard_map(
+        solve, mesh=cgmesh,
+        in_specs=(P("cg", None), P("cg", None), P("cg", None),
+                  P("cg"), P("cg"), P("cg")),
+        out_specs=P("cg")))
+    ent = NamedSharding(cgmesh, P("cg", None))
+    vec = NamedSharding(cgmesh, P("cg"))
+    x = fn(jax.device_put(lrows, ent), jax.device_put(gcols, ent),
+           jax.device_put(gvals, ent),
+           jax.device_put(padv(diag, 1.0), vec),
+           jax.device_put(padv(b, 0.0), vec),
+           jax.device_put(padv(x0, 0.0), vec))
+    return np.asarray(x)[:n]
+
+
+# --------------------------------------------------------------------------
 # Public entry
 # --------------------------------------------------------------------------
 
-def enforce_continuity(tree: Octree) -> Octree:
+def enforce_continuity(tree: Octree, mesh=None) -> Octree:
     """Return a tree whose coefficients minimize inter-cell jumps: solves
-    (M + sI) c = s c0 with warm start (reference: Octree.cpp:1717-1762)."""
+    (M + sI) c = s c0 with warm start (reference: Octree.cpp:1717-1762).
+
+    Pass a ``jax.sharding.Mesh`` to run the CG row-sharded over its devices
+    (the reference's OpenMP-in-Eigen data parallelism, re-designed as ICI
+    collectives)."""
     st, R, C, V = assemble_face_matrix(tree)
     if st.n_coeffs == 0:
         return tree
@@ -378,10 +480,14 @@ def enforce_continuity(tree: Octree) -> Octree:
     on_diag = R == C
     np.add.at(diag, R[on_diag], V[on_diag])
 
-    x = _cg_solve(jnp.asarray(R), jnp.asarray(C), jnp.asarray(V),
-                  s, jnp.asarray(diag), jnp.asarray(s * c0),
-                  jnp.asarray(c0), n=n, tol=consts.EPSILON_F32,
-                  max_iter=2 * n)
+    if mesh is not None:
+        x = _cg_solve_sharded(mesh, R, C, V, s, diag, s * c0, c0,
+                              n=n, tol=consts.EPSILON_F32, max_iter=2 * n)
+    else:
+        x = _cg_solve(jnp.asarray(R), jnp.asarray(C), jnp.asarray(V),
+                      s, jnp.asarray(diag), jnp.asarray(s * c0),
+                      jnp.asarray(c0), n=n, tol=consts.EPSILON_F32,
+                      max_iter=2 * n)
     new_coeffs = coeffs.copy()
     new_coeffs[flat_rows, flat_cols] = np.asarray(x)
     return dataclasses.replace(tree, coeffs=jnp.asarray(new_coeffs))

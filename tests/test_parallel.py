@@ -81,3 +81,19 @@ def test_sharded_train_step_reduces_loss(small_tree):
     np.testing.assert_allclose(float(l1), float(l1s), rtol=1e-10)
     np.testing.assert_allclose(np.asarray(t1.coeffs), np.asarray(t1s.coeffs),
                                atol=1e-12)
+
+
+def test_sharded_continuity_cg_matches_single_device(small_tree):
+    """Row-sharded CG over the 8-device mesh reproduces the single-device
+    continuity solve (SURVEY.md section 7.4: global sharded CG)."""
+    import dataclasses
+
+    from hpsdf_tpu import continuity
+
+    cfg = dataclasses.replace(small_tree.config, continuity=True,
+                              continuity_strength=8.0)
+    tree = dataclasses.replace(small_tree, config=cfg)
+    t1 = continuity.enforce_continuity(tree)
+    t2 = continuity.enforce_continuity(tree, mesh=parallel.make_mesh())
+    np.testing.assert_allclose(np.asarray(t2.coeffs), np.asarray(t1.coeffs),
+                               rtol=1e-10, atol=1e-12)
