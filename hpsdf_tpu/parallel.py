@@ -39,6 +39,28 @@ BATCH_AXIS = "batch"
 NODE_AXIS = "node"
 
 
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> None:
+    """Multi-host bring-up: ``jax.distributed.initialize`` with env-var
+    defaults (SURVEY.md section 5.8 -- the reference has no distributed
+    backend; this is the from-scratch multi-host entry). After this,
+    ``jax.devices()`` spans all hosts and ``make_mesh`` builds global
+    meshes whose collectives ride ICI/DCN. No-op when already initialized
+    or when running single-process with no coordinator configured."""
+    import os
+
+    if jax.process_count() > 1:
+        return
+    coordinator_address = coordinator_address or os.environ.get(
+        "HPSDF_COORDINATOR")
+    if coordinator_address is None and num_processes is None:
+        return
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
 def make_mesh(devices=None, node_parallel: int = 1) -> Mesh:
     """Build a (batch, node) device mesh.
 
