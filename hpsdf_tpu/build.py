@@ -57,11 +57,13 @@ def _bucket(n: int, lo: int = 64) -> int:
 # Batched polynomial fitting (hot loop #1)
 # --------------------------------------------------------------------------
 
-def _fit_impl(F_int, nw: NearnessWeighting, nw_strength: float, degree: int,
-              prev_width: int, centres, depths, prev_coeffs):
+def _fit_impl(nw: NearnessWeighting, nw_strength: float, degree: int,
+              prev_width: int, Fv, depths, prev_coeffs):
     """Fit degree-``degree`` bases to a batch of cells.
 
-    centres: (M, 3) internal unit-cube cell centres
+    Fv     : (M, Q, Q, Q) F sampled at each cell's tensor-product
+             Gauss-Legendre grid (produced host-side by _FitCache so the
+             user SDF compiles once per build, not once per batch shape)
     depths : (M,)  int32
     prev_coeffs: (M, prev_width) coeffs to retain verbatim (p-refinement
       reuse, Octree.cpp:1011-1012,1025), or (M, 0).
@@ -69,21 +71,7 @@ def _fit_impl(F_int, nw: NearnessWeighting, nw_strength: float, degree: int,
     Returns (coeffs (M, C), err (M,)) where err follows paper eq (6) with
     optional nearness weighting eqs (11)/(12).
     """
-    M = centres.shape[0]
-    x, w = basis.leggauss(basis.fit_rule_size(degree))
-    x = jnp.asarray(x)
-    half = jnp.exp2(-(depths.astype(centres.dtype) + 1.0))        # (M,)
-
-    # Tensor-product sample grid, built by broadcasting: (M, Q, Q, Q, 3)
-    gx = centres[:, 0, None] + half[:, None] * x                  # (M, Q)
-    gy = centres[:, 1, None] + half[:, None] * x
-    gz = centres[:, 2, None] + half[:, None] * x
-    px = jnp.broadcast_to(gx[:, :, None, None], (M,) + (x.size,) * 3)
-    py = jnp.broadcast_to(gy[:, None, :, None], (M,) + (x.size,) * 3)
-    pz = jnp.broadcast_to(gz[:, None, None, :], (M,) + (x.size,) * 3)
-    pts = jnp.stack([px, py, pz], axis=-1).reshape(-1, 3)
-
-    Fv = F_int(pts).reshape((M,) + (x.size,) * 3)
+    half = jnp.exp2(-(depths.astype(Fv.dtype) + 1.0))             # (M,)
 
     # Separable projection: A[p, q] = w_q L_p(x_q); three contractions.
     A = jnp.asarray(basis.quadrature_matrix(degree))              # (P+1, Q)
@@ -124,12 +112,38 @@ def _fit_impl(F_int, nw: NearnessWeighting, nw_strength: float, degree: int,
 
 
 class _FitCache:
-    """Per-build jit cache of _fit_impl, keyed by (degree, prev_width)."""
+    """Per-build jit cache of _fit_impl, keyed by (degree, prev_width).
+
+    The user SDF ``F`` is deliberately evaluated OUTSIDE the projection
+    program, host-chunked at a small set of fixed shapes: a fit batch can
+    reach tens of millions of quadrature points and its shape changes every
+    round, so tracing F into the fit kernel recompiles the (potentially
+    expensive -- tree queries for CSG rebuilds, closest-triangle scans for
+    mesh SDFs) F program at every new bucket size. Fixed-shape chunking
+    compiles F a handful of times per build and makes the per-(degree,
+    prev_width, bucket) projection programs trivial to compile.
+    """
+
+    CHUNK_MAX = 1 << 20
 
     def __init__(self, F_int, cfg: Config):
         self._F = F_int
         self._cfg = cfg
         self._jits: dict[tuple[int, int], Callable] = {}
+        self._f_jit = jax.jit(F_int)
+
+    def _eval_F(self, flat: np.ndarray) -> np.ndarray:
+        """F at (n, 3) points via fixed-shape device chunks."""
+        n = flat.shape[0]
+        ck = min(self.CHUNK_MAX, _bucket(n))
+        outs = []
+        for s in range(0, n, ck):
+            buf = flat[s: s + ck]
+            if buf.shape[0] < ck:
+                buf = np.concatenate(
+                    [buf, np.zeros((ck - buf.shape[0], 3), flat.dtype)])
+            outs.append(self._f_jit(jnp.asarray(buf)))
+        return np.concatenate([np.asarray(o) for o in outs])[:n]
 
     def __call__(self, degree: int, centres: np.ndarray, depths: np.ndarray,
                  prev: np.ndarray | None = None):
@@ -138,18 +152,30 @@ class _FitCache:
         pw = 0 if prev is None else prev.shape[1]
         key = (degree, pw)
         if key not in self._jits:
-            fn = functools.partial(_fit_impl, self._F,
+            fn = functools.partial(_fit_impl,
                                    self._cfg.nearness_weighting,
                                    self._cfg.nearness_strength, degree, pw)
             self._jits[key] = jax.jit(fn)
-        c = np.zeros((Mb, 3), np.float64)
+        # Tensor-product sample grid per cell (host, trivially cheap):
+        # pts[m, i, j, k] = centre[m] + half[m] * (x_i, x_j, x_k).
+        Q = basis.fit_rule_size(degree)
+        x, _ = basis.leggauss(Q)
+        half = np.exp2(-(depths.astype(np.float64) + 1.0))
+        gax = (centres[:, :, None] + half[:, None, None] * x[None, None, :])
+        pts = np.empty((M, Q, Q, Q, 3), np.float64)
+        pts[..., 0] = gax[:, 0, :, None, None]
+        pts[..., 1] = gax[:, 1, None, :, None]
+        pts[..., 2] = gax[:, 2, None, None, :]
+        Fv = self._eval_F(pts.reshape(-1, 3)).reshape((M, Q, Q, Q))
+
+        fv = np.zeros((Mb, Q, Q, Q), np.float64)
         d = np.zeros(Mb, np.int32)
-        c[:M] = centres
+        fv[:M] = Fv
         d[:M] = depths
         p = np.zeros((Mb, pw), np.float64)
         if pw:
             p[:M] = prev
-        coeffs, err = self._jits[key](jnp.asarray(c), jnp.asarray(d),
+        coeffs, err = self._jits[key](jnp.asarray(fv), jnp.asarray(d),
                                       jnp.asarray(p))
         return np.asarray(coeffs)[:M], np.asarray(err)[:M]
 
