@@ -124,60 +124,68 @@ class _FitCache:
     prev_width, bucket) projection programs trivial to compile.
     """
 
-    CHUNK_MAX = 1 << 20
+    BLOCK_PTS = 1 << 21       # target quadrature points per fused dispatch
 
     def __init__(self, F_int, cfg: Config):
         self._F = F_int
         self._cfg = cfg
-        self._jits: dict[tuple[int, int], Callable] = {}
-        self._f_jit = jax.jit(F_int)
+        self._jits: dict[tuple[int, int, int], Callable] = {}
 
-    def _eval_F(self, flat: np.ndarray) -> np.ndarray:
-        """F at (n, 3) points via fixed-shape device chunks."""
-        n = flat.shape[0]
-        ck = min(self.CHUNK_MAX, _bucket(n))
-        outs = []
-        for s in range(0, n, ck):
-            buf = flat[s: s + ck]
-            if buf.shape[0] < ck:
-                buf = np.concatenate(
-                    [buf, np.zeros((ck - buf.shape[0], 3), flat.dtype)])
-            outs.append(self._f_jit(jnp.asarray(buf)))
-        return np.concatenate([np.asarray(o) for o in outs])[:n]
+    def _fused(self, degree: int, pw: int):
+        """Point-gen + F + projection as one program over a cell block."""
+        Q = basis.fit_rule_size(degree)
+        x, _ = basis.leggauss(Q)
+        xj = jnp.asarray(x)
+        F = self._F
+        nw, nws = self._cfg.nearness_weighting, self._cfg.nearness_strength
+
+        def fused(c, d, p):
+            cc = c.shape[0]
+            half = jnp.exp2(-(d.astype(c.dtype) + 1.0))
+            gax = c[:, :, None] + half[:, None, None] * xj       # (cc, 3, Q)
+            px = jnp.broadcast_to(gax[:, 0, :, None, None], (cc, Q, Q, Q))
+            py = jnp.broadcast_to(gax[:, 1, None, :, None], (cc, Q, Q, Q))
+            pz = jnp.broadcast_to(gax[:, 2, None, None, :], (cc, Q, Q, Q))
+            pts = jnp.stack([px, py, pz], axis=-1).reshape(-1, 3)
+            Fv = F(pts).reshape(cc, Q, Q, Q)
+            return _fit_impl(nw, nws, degree, pw, Fv, d, p)
+
+        return jax.jit(fused)
 
     def __call__(self, degree: int, centres: np.ndarray, depths: np.ndarray,
                  prev: np.ndarray | None = None):
         M = centres.shape[0]
-        Mb = _bucket(M)
         pw = 0 if prev is None else prev.shape[1]
-        key = (degree, pw)
-        if key not in self._jits:
-            fn = functools.partial(_fit_impl,
-                                   self._cfg.nearness_weighting,
-                                   self._cfg.nearness_strength, degree, pw)
-            self._jits[key] = jax.jit(fn)
-        # Tensor-product sample grid per cell (host, trivially cheap):
-        # pts[m, i, j, k] = centre[m] + half[m] * (x_i, x_j, x_k).
+        # Fixed cell-block size: large batches are split into BLOCK_PTS-
+        # sized dispatches, so each (degree, prev_width) compiles its fused
+        # program at a handful of stable shapes no matter how batch sizes
+        # evolve across refinement rounds (tracing F into an unbounded-
+        # shape program recompiled the -- potentially expensive -- F at
+        # every new bucket size; measured 15 s per compile for CSG
+        # rebuilds' tree-query F at 24M-point shapes).
         Q = basis.fit_rule_size(degree)
-        x, _ = basis.leggauss(Q)
-        half = np.exp2(-(depths.astype(np.float64) + 1.0))
-        gax = (centres[:, :, None] + half[:, None, None] * x[None, None, :])
-        pts = np.empty((M, Q, Q, Q, 3), np.float64)
-        pts[..., 0] = gax[:, 0, :, None, None]
-        pts[..., 1] = gax[:, 1, None, :, None]
-        pts[..., 2] = gax[:, 2, None, None, :]
-        Fv = self._eval_F(pts.reshape(-1, 3)).reshape((M, Q, Q, Q))
-
-        fv = np.zeros((Mb, Q, Q, Q), np.float64)
-        d = np.zeros(Mb, np.int32)
-        fv[:M] = Fv
-        d[:M] = depths
-        p = np.zeros((Mb, pw), np.float64)
-        if pw:
-            p[:M] = prev
-        coeffs, err = self._jits[key](jnp.asarray(fv), jnp.asarray(d),
-                                      jnp.asarray(p))
-        return np.asarray(coeffs)[:M], np.asarray(err)[:M]
+        cc = min(_bucket(M), max(256, self.BLOCK_PTS // Q**3))
+        key = (degree, pw, cc)
+        if key not in self._jits:
+            self._jits[key] = self._fused(degree, pw)
+        out_c, out_e = [], []
+        for s in range(0, M, cc):
+            c = centres[s: s + cc]
+            d = depths[s: s + cc]
+            p = (prev[s: s + cc] if pw
+                 else np.zeros((c.shape[0], 0), np.float64))
+            if c.shape[0] < cc:
+                pad = cc - c.shape[0]
+                c = np.concatenate([c, np.zeros((pad, 3), c.dtype)])
+                d = np.concatenate([d, np.zeros(pad, d.dtype)])
+                p = np.concatenate([p, np.zeros((pad, pw), p.dtype)])
+            coeffs, err = self._jits[key](jnp.asarray(c), jnp.asarray(d),
+                                          jnp.asarray(p))
+            out_c.append(coeffs)
+            out_e.append(err)
+        coeffs = np.concatenate([np.asarray(o) for o in out_c])[:M]
+        err = np.concatenate([np.asarray(o) for o in out_e])[:M]
+        return coeffs, err
 
 
 # --------------------------------------------------------------------------
