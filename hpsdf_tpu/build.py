@@ -74,14 +74,14 @@ def _fit_impl(nw: NearnessWeighting, nw_strength: float, degree: int,
     half = jnp.exp2(-(depths.astype(Fv.dtype) + 1.0))             # (M,)
 
     # Separable projection: A[p, q] = w_q L_p(x_q); three contractions.
-    A = jnp.asarray(basis.quadrature_matrix(degree))              # (P+1, Q)
+    A = jnp.asarray(basis.quadrature_matrix(degree), Fv.dtype)    # (P+1, Q)
     T = jnp.einsum("mijk,pi->mpjk", Fv, A)
     T = jnp.einsum("mpjk,qj->mpqk", T, A)
     T = jnp.einsum("mpqk,rk->mpqr", T, A)
 
     idx = basis.basis_indices(degree)                             # (C, 3)
     raw = T[:, idx[:, 0], idx[:, 1], idx[:, 2]]                   # (M, C)
-    cn = jnp.asarray(basis.coeff_norms(degree))                   # (D+1, C)
+    cn = jnp.asarray(basis.coeff_norms(degree), Fv.dtype)         # (D+1, C)
     vol = half ** 3                                               # aabbScalesMult
     coeffs = raw * cn[depths] * vol[:, None]
 
@@ -129,14 +129,16 @@ class _FitCache:
     def __init__(self, F_int, cfg: Config):
         self._F = F_int
         self._cfg = cfg
+        self._dt = jnp.dtype(cfg.fit_dtype)
         self._jits: dict[tuple[int, int, int], Callable] = {}
 
     def _fused(self, degree: int, pw: int):
         """Point-gen + F + projection as one program over a cell block."""
         Q = basis.fit_rule_size(degree)
         x, _ = basis.leggauss(Q)
-        xj = jnp.asarray(x)
+        xj = jnp.asarray(x, self._dt)
         F = self._F
+        dt = self._dt
         nw, nws = self._cfg.nearness_weighting, self._cfg.nearness_strength
 
         def fused(c, d, p):
@@ -147,7 +149,7 @@ class _FitCache:
             py = jnp.broadcast_to(gax[:, 1, None, :, None], (cc, Q, Q, Q))
             pz = jnp.broadcast_to(gax[:, 2, None, None, :], (cc, Q, Q, Q))
             pts = jnp.stack([px, py, pz], axis=-1).reshape(-1, 3)
-            Fv = F(pts).reshape(cc, Q, Q, Q)
+            Fv = F(pts).astype(dt).reshape(cc, Q, Q, Q)
             return _fit_impl(nw, nws, degree, pw, Fv, d, p)
 
         return jax.jit(fused)
@@ -179,8 +181,9 @@ class _FitCache:
                 c = np.concatenate([c, np.zeros((pad, 3), c.dtype)])
                 d = np.concatenate([d, np.zeros(pad, d.dtype)])
                 p = np.concatenate([p, np.zeros((pad, pw), p.dtype)])
-            coeffs, err = self._jits[key](jnp.asarray(c), jnp.asarray(d),
-                                          jnp.asarray(p))
+            coeffs, err = self._jits[key](jnp.asarray(c, self._dt),
+                                          jnp.asarray(d),
+                                          jnp.asarray(p, self._dt))
             out_c.append(coeffs)
             out_e.append(err)
         coeffs = np.concatenate([np.asarray(o) for o in out_c])[:M]
@@ -279,9 +282,10 @@ def build(config: Config, F: SDFFn, *,
     t0 = time.monotonic()
 
     # Domain normalization: internal tree spans the unit cube
-    # (reference: Octree.cpp:321-328).
-    root_centre = jnp.asarray(config.root_centre)
-    root_sizes = jnp.asarray(config.root_sizes)
+    # (reference: Octree.cpp:321-328). The transform constants follow the
+    # fit dtype so an f32 fit does not silently promote back to f64.
+    root_centre = jnp.asarray(config.root_centre, config.fit_dtype)
+    root_sizes = jnp.asarray(config.root_sizes, config.fit_dtype)
 
     def F_int(pts):
         return F(pts * root_sizes + root_centre)

@@ -54,6 +54,15 @@ class Config:
     # error) if refinement would exceed it.
     node_capacity: int = 200_000
 
+    # Working dtype of the quadrature-projection fits. The reference fits in
+    # f64 (Source/HP/Octree.cpp:1007-1093); "float64" reproduces that but on
+    # TPU f64 is software-emulated, so f64 builds run on the host CPU
+    # backend. "float32" keeps the whole fit (F evaluation + separable
+    # Gauss-Legendre projection) native on the accelerator -- right whenever
+    # the serving path is f32 anyway (rendering, packed queries) and the
+    # target tolerance is above f32 noise (~1e-6 field error).
+    fit_dtype: str = "float64"
+
     enable_logging: bool = False
 
     def validate(self) -> None:
@@ -73,6 +82,8 @@ class Config:
             raise ValueError("max_degree out of range")
         if not (consts.COARSE_DEPTH <= self.max_depth <= consts.TREE_MAX_DEPTH):
             raise ValueError("max_depth out of range")
+        if self.fit_dtype not in ("float32", "float64"):
+            raise ValueError("fit_dtype must be 'float32' or 'float64'")
 
     # -- world <-> internal unit-cube transform -----------------------------
     # The build normalizes the domain so the tree always spans [-0.5, 0.5]^3
