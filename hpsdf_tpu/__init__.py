@@ -31,6 +31,7 @@ from .tree import Octree, save, load                     # noqa: E402
 from .api import (build_octree, query, query_with_gradient, query_grid,
                   union_sdf, subtract_sdf, intersect_sdf)  # noqa: E402
 from .accel import pack_tree  # noqa: E402
+from . import df64  # noqa: E402
 from .viz import output_function_slice, function_slice  # noqa: E402
 from . import inverse  # noqa: E402
 from .render import (trace, camera_rays, intersect_aabb,  # noqa: E402
@@ -46,6 +47,6 @@ __all__ = [
     "build_octree", "query", "query_with_gradient", "query_grid",
     "union_sdf", "subtract_sdf", "intersect_sdf", "pack_tree",
     "trace", "render_image", "camera_rays", "intersect_aabb", "render",
-    "output_function_slice", "function_slice", "inverse",
+    "output_function_slice", "function_slice", "inverse", "df64",
 ]
 __version__ = "0.1.0"

@@ -40,7 +40,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from . import basis, consts
+from . import basis, consts, df64
 from .config import Config, NearnessWeighting
 from .tree import Octree, pack
 
@@ -111,6 +111,70 @@ def _fit_impl(nw: NearnessWeighting, nw_strength: float, degree: int,
     return coeffs, err
 
 
+@functools.lru_cache(maxsize=None)
+def _quad_matrix_df(degree: int):
+    """quadrature_matrix(degree) exactly split into (hi, lo) f32 pairs."""
+    return df64.from_f64(basis.quadrature_matrix(degree))
+
+
+@functools.lru_cache(maxsize=None)
+def _coeff_norms_df(degree: int):
+    """coeff_norms(degree) exactly split into (hi, lo) f32 pairs."""
+    return df64.from_f64(basis.coeff_norms(degree))
+
+
+def _fit_impl_df64(nw: NearnessWeighting, nw_strength: float, degree: int,
+                   prev_width: int, Fhi, Flo, depths, prev_hi, prev_lo):
+    """Compensated (double-float) variant of _fit_impl: the same separable
+    Gauss-Legendre projection, accumulated at ~4e-15 relative precision in
+    native f32 device ops (df64.py) instead of f64. This is what makes the
+    build path TPU-resident at reference-equivalent precision (the reference
+    fits in f64, Source/HP/Octree.cpp:1007-1093; TPUs have no f64 datapath).
+
+    Fhi, Flo : (M, Q, Q, Q) df64 pair of F at the quadrature grids
+    Returns (coeffs_hi (M, C), coeffs_lo (M, C), err (M,) f32). The error
+    (eq 6) is a sum of non-negative squares -- no cancellation -- so f32
+    relative precision (~1e-7) on it is ample for threshold decisions.
+    """
+    f32 = jnp.float32
+    Ah, Al = _quad_matrix_df(degree)
+    Ah, Al = jnp.asarray(Ah), jnp.asarray(Al)
+    Th, Tl = Fhi, Flo
+    for ax in (1, 2, 3):
+        Th, Tl = df64.contract_axis(Th, Tl, ax, Ah, Al)
+
+    idx = basis.basis_indices(degree)                            # (C, 3)
+    raw = (Th[:, idx[:, 0], idx[:, 1], idx[:, 2]],
+           Tl[:, idx[:, 0], idx[:, 1], idx[:, 2]])               # (M, C)
+    cnh, cnl = _coeff_norms_df(degree)                           # (D+1, C)
+    cn = (jnp.asarray(cnh)[depths], jnp.asarray(cnl)[depths])
+    c = df64.mul(raw, cn)
+    half = jnp.exp2(-(depths.astype(f32) + 1.0))                 # exact pow2
+    c = df64.mul_pow2(c, (half ** 3)[:, None])                   # aabbScalesMult
+
+    if prev_width:
+        # p-refinement keeps previously fitted coefficients bit-exact
+        # (the reference only computes the new ones, Octree.cpp:1043).
+        c = (jnp.concatenate([prev_hi, c[0][:, prev_width:]], axis=1),
+             jnp.concatenate([prev_lo, c[1][:, prev_width:]], axis=1))
+
+    top = jnp.asarray(idx.sum(axis=1) == degree)
+    err = jnp.sum(jnp.where(top[None, :], c[0] * c[0], f32(0.0)), axis=1)
+
+    if nw != NearnessWeighting.NONE:
+        # exact cell mean |c_000| * 2**(1.5*depth); see _fit_impl
+        fbar = jnp.abs(c[0][:, 0] * jnp.exp2(1.5 * depths.astype(f32)))
+        d = f32(math.sqrt(3.0))
+        if nw == NearnessWeighting.POLYNOMIAL:
+            k = jnp.clip((f32(1.0) - fbar / d) ** f32(nw_strength),
+                         0.0, 1.0)
+        else:
+            k = jnp.exp(f32(-nw_strength) * fbar / d)
+        err = err * k
+
+    return c[0], c[1], err
+
+
 class _FitCache:
     """Per-build jit cache of _fit_impl, keyed by (degree, prev_width).
 
@@ -129,11 +193,15 @@ class _FitCache:
     def __init__(self, F_int, cfg: Config):
         self._F = F_int
         self._cfg = cfg
-        self._dt = jnp.dtype(cfg.fit_dtype)
+        self._comp = cfg.fit_dtype == "compensated"
+        self._dt = (jnp.dtype(jnp.float32) if self._comp
+                    else jnp.dtype(cfg.fit_dtype))
         self._jits: dict[tuple[int, int, int], Callable] = {}
 
     def _fused(self, degree: int, pw: int):
         """Point-gen + F + projection as one program over a cell block."""
+        if self._comp:
+            return self._fused_df(degree, pw)
         Q = basis.fit_rule_size(degree)
         x, _ = basis.leggauss(Q)
         xj = jnp.asarray(x, self._dt)
@@ -151,6 +219,53 @@ class _FitCache:
             pts = jnp.stack([px, py, pz], axis=-1).reshape(-1, 3)
             Fv = F(pts).astype(dt).reshape(cc, Q, Q, Q)
             return _fit_impl(nw, nws, degree, pw, Fv, d, p)
+
+        return jax.jit(fused)
+
+    def _fused_df(self, degree: int, pw: int):
+        """Compensated-mode fused program: df64 quadrature points, F in
+        df64 when it supports it (df64.DF64Fn) else plain f32, projection
+        via _fit_impl_df64. Runs in native f32 ops on any backend -- this is
+        the TPU-resident build path."""
+        Q = basis.fit_rule_size(degree)
+        x, _ = basis.leggauss(Q)
+        xh, xl = (jnp.asarray(v) for v in df64.from_f64(x))      # (Q,)
+        F = self._F
+        df_aware = isinstance(F, df64.DF64Fn)
+        nw, nws = self._cfg.nearness_weighting, self._cfg.nearness_strength
+
+        def fused(c, d, ph, pl):
+            # c: (cc, 3) f32 centres -- exact (multiples of 2**-(depth+2));
+            # half is an exact power of two, so half*x stays an exact pair
+            # and the centre add is a two_sum: the quadrature points carry
+            # full f64-equivalent precision.
+            cc = c.shape[0]
+            half = jnp.exp2(-(d.astype(jnp.float32) + 1.0))      # (cc,)
+            gh = half[:, None] * xh[None, :]                     # (cc, Q)
+            gl = half[:, None] * xl[None, :]
+            axes_h, axes_l = [], []
+            for a in range(3):
+                h, l = df64.add_f((gh, gl), c[:, a:a + 1])
+                axes_h.append(h)
+                axes_l.append(l)
+
+            def grid3(ax):
+                px = jnp.broadcast_to(ax[0][:, :, None, None], (cc, Q, Q, Q))
+                py = jnp.broadcast_to(ax[1][:, None, :, None], (cc, Q, Q, Q))
+                pz = jnp.broadcast_to(ax[2][:, None, None, :], (cc, Q, Q, Q))
+                return jnp.stack([px, py, pz], axis=-1).reshape(-1, 3)
+
+            pts_h = grid3(axes_h)
+            if df_aware:
+                vh, vl = F.eval_df(pts_h, grid3(axes_l))
+                vh = vh.astype(jnp.float32)
+                vl = vl.astype(jnp.float32)
+            else:
+                vh = F(pts_h).astype(jnp.float32)
+                vl = jnp.zeros_like(vh)
+            Fh = vh.reshape(cc, Q, Q, Q)
+            Fl = vl.reshape(cc, Q, Q, Q)
+            return _fit_impl_df64(nw, nws, degree, pw, Fh, Fl, d, ph, pl)
 
         return jax.jit(fused)
 
@@ -181,13 +296,21 @@ class _FitCache:
                 c = np.concatenate([c, np.zeros((pad, 3), c.dtype)])
                 d = np.concatenate([d, np.zeros(pad, d.dtype)])
                 p = np.concatenate([p, np.zeros((pad, pw), p.dtype)])
-            coeffs, err = self._jits[key](jnp.asarray(c, self._dt),
-                                          jnp.asarray(d),
-                                          jnp.asarray(p, self._dt))
-            out_c.append(coeffs)
-            out_e.append(err)
-        coeffs = np.concatenate([np.asarray(o) for o in out_c])[:M]
-        err = np.concatenate([np.asarray(o) for o in out_e])[:M]
+            if self._comp:
+                ph, pl = df64.from_f64(p)
+                ch, cl, err = self._jits[key](
+                    jnp.asarray(c, self._dt), jnp.asarray(d),
+                    jnp.asarray(ph), jnp.asarray(pl))
+                coeffs = (np.asarray(ch, np.float64)
+                          + np.asarray(cl, np.float64))
+            else:
+                coeffs, err = self._jits[key](jnp.asarray(c, self._dt),
+                                              jnp.asarray(d),
+                                              jnp.asarray(p, self._dt))
+            out_c.append(np.asarray(coeffs))
+            out_e.append(np.asarray(err, np.float64))
+        coeffs = np.concatenate(out_c)[:M]
+        err = np.concatenate(out_e)[:M]
         return coeffs, err
 
 
@@ -283,12 +406,19 @@ def build(config: Config, F: SDFFn, *,
 
     # Domain normalization: internal tree spans the unit cube
     # (reference: Octree.cpp:321-328). The transform constants follow the
-    # fit dtype so an f32 fit does not silently promote back to f64.
-    root_centre = jnp.asarray(config.root_centre, config.fit_dtype)
-    root_sizes = jnp.asarray(config.root_sizes, config.fit_dtype)
+    # fit dtype so an f32 fit does not silently promote back to f64; a
+    # df64-aware F under the compensated fit gets a df64 affine wrap so no
+    # precision is lost before the field evaluation.
+    comp = config.fit_dtype == "compensated"
+    if comp and isinstance(F, df64.DF64Fn):
+        F_int = df64.AffineWrap(F, config.root_sizes, config.root_centre)
+    else:
+        tdt = jnp.float32 if comp else jnp.dtype(config.fit_dtype)
+        root_centre = jnp.asarray(config.root_centre, tdt)
+        root_sizes = jnp.asarray(config.root_sizes, tdt)
 
-    def F_int(pts):
-        return F(pts * root_sizes + root_centre)
+        def F_int(pts):
+            return F(pts * root_sizes + root_centre)
 
     st = _State(config)
     fit = _FitCache(F_int, config)

@@ -55,12 +55,18 @@ class Config:
     node_capacity: int = 200_000
 
     # Working dtype of the quadrature-projection fits. The reference fits in
-    # f64 (Source/HP/Octree.cpp:1007-1093); "float64" reproduces that but on
-    # TPU f64 is software-emulated, so f64 builds run on the host CPU
-    # backend. "float32" keeps the whole fit (F evaluation + separable
-    # Gauss-Legendre projection) native on the accelerator -- right whenever
-    # the serving path is f32 anyway (rendering, packed queries) and the
-    # target tolerance is above f32 noise (~1e-6 field error).
+    # f64 (Source/HP/Octree.cpp:1007-1093); "float64" reproduces that but
+    # TPUs have no f64 datapath (f64 arrays silently truncate to f32), so
+    # f64 builds run on the host CPU backend. "compensated" is the
+    # TPU-resident equivalent: double-float (two-f32, ~4e-15 relative)
+    # accumulation in the quadrature projection via error-free transforms
+    # (df64.py), f64-equivalent within fit-parity tolerances while running
+    # entirely in native f32 device ops -- the default choice on TPU. Pass a
+    # df64.DF64Fn (e.g. df64.Sphere) as F to also evaluate the FIELD at
+    # double-float precision; a plain F is sampled in f32 (~1e-7 relative
+    # field noise), which bounds achievable target_error around ~1e-9.
+    # "float32" is the cheapest: plain f32 projection, fine whenever the
+    # serving path is f32 anyway and target_error >= ~1e-6.
     fit_dtype: str = "float64"
 
     enable_logging: bool = False
@@ -82,8 +88,9 @@ class Config:
             raise ValueError("max_degree out of range")
         if not (consts.COARSE_DEPTH <= self.max_depth <= consts.TREE_MAX_DEPTH):
             raise ValueError("max_depth out of range")
-        if self.fit_dtype not in ("float32", "float64"):
-            raise ValueError("fit_dtype must be 'float32' or 'float64'")
+        if self.fit_dtype not in ("float32", "float64", "compensated"):
+            raise ValueError(
+                "fit_dtype must be 'float32', 'float64' or 'compensated'")
 
     # -- world <-> internal unit-cube transform -----------------------------
     # The build normalizes the domain so the tree always spans [-0.5, 0.5]^3

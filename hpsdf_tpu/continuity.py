@@ -484,10 +484,12 @@ def enforce_continuity(tree: Octree, mesh=None) -> Octree:
         x = _cg_solve_sharded(mesh, R, C, V, s, diag, s * c0, c0,
                               n=n, tol=consts.EPSILON_F32, max_iter=2 * n)
     else:
-        x = _cg_solve(jnp.asarray(R), jnp.asarray(C), jnp.asarray(V),
-                      s, jnp.asarray(diag), jnp.asarray(s * c0),
-                      jnp.asarray(c0), n=n, tol=consts.EPSILON_F32,
+        from .tree import put_f64
+        x = _cg_solve(jnp.asarray(R), jnp.asarray(C), put_f64(V),
+                      s, put_f64(diag), put_f64(s * c0),
+                      put_f64(c0), n=n, tol=consts.EPSILON_F32,
                       max_iter=2 * n)
     new_coeffs = coeffs.copy()
     new_coeffs[flat_rows, flat_cols] = np.asarray(x)
-    return dataclasses.replace(tree, coeffs=jnp.asarray(new_coeffs))
+    from .tree import put_f64
+    return dataclasses.replace(tree, coeffs=put_f64(new_coeffs))
