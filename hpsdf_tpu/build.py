@@ -175,8 +175,22 @@ def _fit_impl_df64(nw: NearnessWeighting, nw_strength: float, degree: int,
     return c[0], c[1], err
 
 
+# Process-wide cache of compiled fused fit programs. A per-build cache
+# would re-trace (and re-look-up through the TPU tunnel's compile cache)
+# every program on every build -- measured ~5 s per program per build on
+# the axon tunnel, dominating warm rebuild time. Keyed by the F OBJECT
+# (kept alive in the value to make id() collisions impossible) plus every
+# config field the traced program closes over.
+_FUSED_CACHE: dict = {}
+
+# Domain-normalization wrappers, memoized so repeated builds of the same F
+# present the SAME F object to the fused-program cache above.
+_WRAP_CACHE: dict = {}
+
+
 class _FitCache:
-    """Per-build jit cache of _fit_impl, keyed by (degree, prev_width).
+    """Per-build view of the fused-fit program cache, keyed by
+    (degree, prev_width, cell-block size).
 
     The user SDF ``F`` is deliberately evaluated OUTSIDE the projection
     program, host-chunked at a small set of fixed shapes: a fit batch can
@@ -188,15 +202,27 @@ class _FitCache:
     prev_width, bucket) projection programs trivial to compile.
     """
 
-    BLOCK_PTS = 1 << 21       # target quadrature points per fused dispatch
-
     def __init__(self, F_int, cfg: Config):
         self._F = F_int
         self._cfg = cfg
         self._comp = cfg.fit_dtype == "compensated"
         self._dt = (jnp.dtype(jnp.float32) if self._comp
                     else jnp.dtype(cfg.fit_dtype))
-        self._jits: dict[tuple[int, int, int], Callable] = {}
+        # Point budget per fused dispatch: the axon tunnel costs ~0.2 s per
+        # dispatch, so larger blocks amortize it on TPU; host backends
+        # prefer smaller blocks (less peak memory, same throughput).
+        self.block_pts = (1 << 22 if jax.default_backend() == "tpu"
+                          else 1 << 21)
+
+    def _get(self, degree: int, pw: int, cc: int):
+        key = (id(self._F), self._cfg.fit_dtype, self._cfg.nearness_weighting,
+               self._cfg.nearness_strength, degree, pw, cc)
+        hit = _FUSED_CACHE.get(key)
+        if hit is not None and hit[0] is self._F:
+            return hit[1]
+        fn = self._fused(degree, pw)
+        _FUSED_CACHE[key] = (self._F, fn)
+        return fn
 
     def _fused(self, degree: int, pw: int):
         """Point-gen + F + projection as one program over a cell block."""
@@ -281,12 +307,10 @@ class _FitCache:
         # every new bucket size; measured 15 s per compile for CSG
         # rebuilds' tree-query F at 24M-point shapes).
         Q = basis.fit_rule_size(degree)
-        cc = min(_bucket(M), max(256, self.BLOCK_PTS // Q**3))
-        key = (degree, pw, cc)
-        if key not in self._jits:
-            self._jits[key] = self._fused(degree, pw)
-        out_c, out_e = [], []
-        for s in range(0, M, cc):
+        cc = min(_bucket(M), max(256, self.block_pts // Q**3))
+        fn = self._get(degree, pw, cc)
+        outs = []          # jnp outputs; converted AFTER all dispatches so
+        for s in range(0, M, cc):          # blocks overlap on the device
             c = centres[s: s + cc]
             d = depths[s: s + cc]
             p = (prev[s: s + cc] if pw
@@ -298,17 +322,18 @@ class _FitCache:
                 p = np.concatenate([p, np.zeros((pad, pw), p.dtype)])
             if self._comp:
                 ph, pl = df64.from_f64(p)
-                ch, cl, err = self._jits[key](
-                    jnp.asarray(c, self._dt), jnp.asarray(d),
-                    jnp.asarray(ph), jnp.asarray(pl))
-                coeffs = (np.asarray(ch, np.float64)
-                          + np.asarray(cl, np.float64))
+                outs.append(fn(jnp.asarray(c, self._dt), jnp.asarray(d),
+                               jnp.asarray(ph), jnp.asarray(pl)))
             else:
-                coeffs, err = self._jits[key](jnp.asarray(c, self._dt),
-                                              jnp.asarray(d),
-                                              jnp.asarray(p, self._dt))
-            out_c.append(np.asarray(coeffs))
-            out_e.append(np.asarray(err, np.float64))
+                outs.append(fn(jnp.asarray(c, self._dt), jnp.asarray(d),
+                               jnp.asarray(p, self._dt)))
+        if self._comp:
+            out_c = [np.asarray(ch, np.float64) + np.asarray(cl, np.float64)
+                     for ch, cl, _ in outs]
+            out_e = [np.asarray(err, np.float64) for *_, err in outs]
+        else:
+            out_c = [np.asarray(c_) for c_, _ in outs]
+            out_e = [np.asarray(e_, np.float64) for _, e_ in outs]
         coeffs = np.concatenate(out_c)[:M]
         err = np.concatenate(out_e)[:M]
         return coeffs, err
@@ -408,17 +433,28 @@ def build(config: Config, F: SDFFn, *,
     # (reference: Octree.cpp:321-328). The transform constants follow the
     # fit dtype so an f32 fit does not silently promote back to f64; a
     # df64-aware F under the compensated fit gets a df64 affine wrap so no
-    # precision is lost before the field evaluation.
+    # precision is lost before the field evaluation. The wrapper is memoized
+    # on (F, fit_dtype, root): a fresh wrapper object per build would miss
+    # the process-wide fused-program cache and re-trace every fit program
+    # on every build (~5 s per program through the TPU tunnel).
     comp = config.fit_dtype == "compensated"
-    if comp and isinstance(F, df64.DF64Fn):
-        F_int = df64.AffineWrap(F, config.root_sizes, config.root_centre)
+    wkey = (id(F), config.fit_dtype, tuple(config.root_min),
+            tuple(config.root_max))
+    hit = _WRAP_CACHE.get(wkey)
+    if hit is not None and hit[0] is F:
+        F_int = hit[1]
     else:
-        tdt = jnp.float32 if comp else jnp.dtype(config.fit_dtype)
-        root_centre = jnp.asarray(config.root_centre, tdt)
-        root_sizes = jnp.asarray(config.root_sizes, tdt)
+        if comp and isinstance(F, df64.DF64Fn):
+            F_int = df64.AffineWrap(F, config.root_sizes, config.root_centre)
+        else:
+            tdt = jnp.float32 if comp else jnp.dtype(config.fit_dtype)
+            root_centre = jnp.asarray(config.root_centre, tdt)
+            root_sizes = jnp.asarray(config.root_sizes, tdt)
 
-        def F_int(pts):
-            return F(pts * root_sizes + root_centre)
+            def F_int(pts):
+                return F(pts * root_sizes + root_centre)
+
+        _WRAP_CACHE[wkey] = (F, F_int)
 
     st = _State(config)
     fit = _FitCache(F_int, config)
