@@ -5,7 +5,7 @@ Include/Meshing/NNOctree.h, Source/Meshing/NNOctree.cpp): a dynamic
 insert/remove point set with nearest-neighbour queries under a
 ``max_distance`` prune (NNOctree.cpp:120-182). In the reference it is a
 host-side helper used only to accelerate BVH construction; here the BVH
-builds from a Morton sort instead (bvh.py), so this index exists for API
+builds from a median-split sort instead (bvh.py), so this index exists for API
 parity and general use.
 
 Design: a uniform-grid bucket index over the current point set, rebuilt on

@@ -69,33 +69,7 @@ def cube_mesh(centre=(0.0, 0.0, 0.0), half=0.2):
 
 
 def icosphere_mesh(radius=0.3, subdivisions=3, centre=(0.0, 0.0, 0.0)):
-    """Subdivided icosahedron (watertight, ~20*4^s triangles)."""
-    t = (1.0 + np.sqrt(5.0)) / 2.0
-    v = np.asarray([
-        (-1, t, 0), (1, t, 0), (-1, -t, 0), (1, -t, 0),
-        (0, -1, t), (0, 1, t), (0, -1, -t), (0, 1, -t),
-        (t, 0, -1), (t, 0, 1), (-t, 0, -1), (-t, 0, 1)], np.float64)
-    f = np.asarray([
-        (0, 11, 5), (0, 5, 1), (0, 1, 7), (0, 7, 10), (0, 10, 11),
-        (1, 5, 9), (5, 11, 4), (11, 10, 2), (10, 7, 6), (7, 1, 8),
-        (3, 9, 4), (3, 4, 2), (3, 2, 6), (3, 6, 8), (3, 8, 9),
-        (4, 9, 5), (2, 4, 11), (6, 2, 10), (8, 6, 7), (9, 8, 1)], np.int64)
-    for _ in range(subdivisions):
-        edges = {}
-        verts = list(v)
-
-        def mid(a, b):
-            key = (min(a, b), max(a, b))
-            if key not in edges:
-                edges[key] = len(verts)
-                verts.append((verts[a] + verts[b]) / 2.0)
-            return edges[key]
-
-        nf = []
-        for a, b, c in f:
-            ab, bc, ca = mid(a, b), mid(b, c), mid(c, a)
-            nf += [(a, ab, ca), (b, bc, ab), (c, ca, bc), (ab, bc, ca)]
-        v = np.asarray(verts, np.float64)
-        f = np.asarray(nf, np.int64)
-    v = v / np.linalg.norm(v, axis=1, keepdims=True) * radius
-    return v + np.asarray(centre, np.float64), f.astype(np.int32)
+    """Subdivided icosahedron (watertight, 20*4^s triangles) -- delegates to
+    the package generator (hpsdf_tpu/mesh/gen.py)."""
+    from hpsdf_tpu.mesh import gen
+    return gen.icosphere(radius, subdivisions, centre)
