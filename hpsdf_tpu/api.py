@@ -7,12 +7,15 @@ Functional style -- every operation returns a new (immutable) Octree pytree.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Callable
 
 import jax
+import jax.numpy as jnp
 
 from . import build as _build
 from . import query as _query
+from .build import CapturedSDF
 from .config import Config
 from .tree import Octree
 
@@ -37,46 +40,74 @@ query_with_gradient = _query.query_with_gradient
 query_grid = _query.query_grid
 
 
-def as_sdf(tree: Octree) -> SDFFn:
+def as_sdf(tree: Octree, packed_reads: bool | None = None) -> CapturedSDF:
     """Wrap a fitted octree as a batched SDF callable usable as a build
-    input -- the composition mechanism behind the CSG rebuilds."""
-    import dataclasses
+    input -- the composition mechanism behind the CSG rebuilds.
 
-    def F(pts):
-        # The fit kernels close over this tree, turning its arrays into
-        # XLA constants; without a barrier the compiler constant-folds
-        # multi-million-element gathers on them at COMPILE time (measured
-        # 126 s for a union rebuild, ~2 s with the barrier).
-        t = dataclasses.replace(
-            tree,
-            child_idx=jax.lax.optimization_barrier(tree.child_idx),
-            centre=jax.lax.optimization_barrier(tree.centre),
-            depth=jax.lax.optimization_barrier(tree.depth),
-            coeffs=jax.lax.optimization_barrier(tree.coeffs))
+    Returns a CapturedSDF: the tree's arrays travel through jit as
+    ARGUMENTS rather than closure constants, so (a) XLA cannot
+    constant-fold multi-million-element gathers on them at compile time
+    (measured 126 s per union rebuild in round 1) and (b) the fit programs
+    traced for one CSG rebuild are reused verbatim by every later rebuild
+    over same-shaped trees.
+
+    ``packed_reads`` selects the read path: the gather-optimized f32 packed
+    layout (fast, device-friendly; default for f32/compensated builds whose
+    CSG tolerance is 0.05 anyway) or the generic f64 descent (reference
+    precision; default for f64 builds).
+    """
+    if packed_reads is None:
+        packed_reads = tree.config.fit_dtype in ("float32", "compensated")
+    if packed_reads:
+        from . import accel
+
+        pt = accel.pack_tree(tree)
+
+        def fn(caps, pts):
+            p = dataclasses.replace(pt, rows=caps[0], grid=caps[1])
+            return accel.values_at(p, pts.astype(jnp.float32)).astype(
+                pts.dtype)
+
+        key = ("as_sdf_packed", pt.deg_used, pt.grid_depth, pt.extra_rounds,
+               pt.root_centre, pt.root_sizes,
+               tuple(pt.rows.shape), tuple(pt.grid.shape))
+        return CapturedSDF(fn, (pt.rows, pt.grid), key)
+
+    def fn(caps, pts):
+        t = dataclasses.replace(tree, child_idx=caps[0], centre=caps[1],
+                                depth=caps[2], degree=caps[3],
+                                coeffs=caps[4])
         return _query.query(t, pts, outside_value_max=False)
 
-    return F
+    key = ("as_sdf_generic", tree.deg_used, tree.depth_used, tree.capacity,
+           tree.coeff_width, tuple(tree.config.root_min),
+           tuple(tree.config.root_max))
+    return CapturedSDF(fn, (tree.child_idx, tree.centre, tree.depth,
+                            tree.degree, tree.coeffs), key)
+
+
+def _csg(tree: Octree, F: SDFFn, op: str, combine, **kw) -> Octree:
+    old = as_sdf(tree)
+    inner = old.fn
+    comb = CapturedSDF(
+        lambda caps, pts: combine(inner(caps, pts), F(pts)),
+        old.captures, (op, old.key, _build._f_key(F)))
+    return build_octree(tree.config, comb, **kw)
 
 
 def union_sdf(tree: Octree, F: SDFFn, **kw) -> Octree:
     """Rebuild approximating min(tree, F) (Octree::UnionSDF,
     Source/HP/Octree.cpp:355-374)."""
-    old = as_sdf(tree)
-    return build_octree(tree.config, lambda p: jax.numpy.minimum(old(p), F(p)),
-                        **kw)
+    return _csg(tree, F, "union", jnp.minimum, **kw)
 
 
 def subtract_sdf(tree: Octree, F: SDFFn, **kw) -> Octree:
     """Rebuild approximating max(-tree, F) (Octree::SubtractSDF,
     Source/HP/Octree.cpp:377-387)."""
-    old = as_sdf(tree)
-    return build_octree(tree.config, lambda p: jax.numpy.maximum(-old(p), F(p)),
-                        **kw)
+    return _csg(tree, F, "subtract", lambda a, b: jnp.maximum(-a, b), **kw)
 
 
 def intersect_sdf(tree: Octree, F: SDFFn, **kw) -> Octree:
     """Rebuild approximating max(tree, F) (Octree::IntersectSDF,
     Source/HP/Octree.cpp:390-400)."""
-    old = as_sdf(tree)
-    return build_octree(tree.config, lambda p: jax.numpy.maximum(old(p), F(p)),
-                        **kw)
+    return _csg(tree, F, "intersect", jnp.maximum, **kw)

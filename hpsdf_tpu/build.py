@@ -48,6 +48,32 @@ from .tree import Octree, pack
 SDFFn = Callable[[jax.Array], jax.Array]
 
 
+class CapturedSDF:
+    """An SDF whose array state is threaded through jit as ARGUMENTS.
+
+    A plain closure turns captured arrays into XLA constants, so every CSG
+    rebuild (whose F reads the previous tree) would compile a fresh fit
+    program per tree; shipping the arrays as operands makes the traced
+    programs reusable across any same-shaped captures. ``key`` identifies
+    the program structure (op name + capture shapes + inner-F identity) for
+    the process-wide fused-program cache.
+    """
+
+    def __init__(self, fn, captures, key):
+        self.fn = fn                 # (captures, pts) -> (K,)
+        self.captures = captures     # pytree of arrays
+        self.key = key               # hashable program identity
+
+    def __call__(self, pts):
+        return self.fn(self.captures, pts)
+
+
+def _f_key(F):
+    """Cache identity of an F: CapturedSDFs by their structural key (their
+    array contents travel as arguments), everything else by object id."""
+    return F.key if isinstance(F, CapturedSDF) else id(F)
+
+
 def _bucket(n: int, lo: int = 64) -> int:
     """Round batch sizes up to powers of two to bound recompilation."""
     return max(lo, 1 << (n - 1).bit_length())
@@ -202,12 +228,24 @@ class _FitCache:
     prev_width, bucket) projection programs trivial to compile.
     """
 
-    def __init__(self, F_int, cfg: Config):
+    def __init__(self, F_int, cfg: Config, mesh=None):
         self._F = F_int
         self._cfg = cfg
         self._comp = cfg.fit_dtype == "compensated"
         self._dt = (jnp.dtype(jnp.float32) if self._comp
                     else jnp.dtype(cfg.fit_dtype))
+        # Frontier sharding (SURVEY.md 5.7): cells within a fit block are
+        # data-parallel (each cell's quadrature grid, F evaluation and
+        # projection are independent), so the block axis shards cleanly
+        # over a device mesh; F's captures stay replicated.
+        self._mesh = None
+        self._ndev = 1
+        if mesh is not None:
+            devs = np.asarray(mesh.devices).reshape(-1)
+            if devs.size > 1:
+                from jax.sharding import Mesh
+                self._mesh = Mesh(devs, ("fitcells",))
+                self._ndev = devs.size
         # Point budget per fused dispatch: the axon tunnel costs ~0.2 s per
         # dispatch, so larger blocks amortize it on TPU; host backends
         # prefer smaller blocks (less peak memory, same throughput).
@@ -215,12 +253,26 @@ class _FitCache:
                           else 1 << 21)
 
     def _get(self, degree: int, pw: int, cc: int):
-        key = (id(self._F), self._cfg.fit_dtype, self._cfg.nearness_weighting,
-               self._cfg.nearness_strength, degree, pw, cc)
+        key = (_f_key(self._F), self._cfg.fit_dtype,
+               self._cfg.nearness_weighting,
+               self._cfg.nearness_strength, degree, pw, cc,
+               None if self._mesh is None
+               else tuple(d.id for d in self._mesh.devices.flat))
         hit = _FUSED_CACHE.get(key)
-        if hit is not None and hit[0] is self._F:
+        if hit is not None and (isinstance(self._F, CapturedSDF)
+                                or hit[0] is self._F):
             return hit[1]
         fn = self._fused(degree, pw)
+        if self._mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            rep = NamedSharding(self._mesh, P())
+            sh = NamedSharding(self._mesh, P("fitcells"))
+            caps_sh = jax.tree.map(lambda _: rep, self._F.captures) \
+                if isinstance(self._F, CapturedSDF) else rep
+            n_in = 4 if self._comp else 3
+            fn = jax.jit(fn.__wrapped__,
+                         in_shardings=(caps_sh,) + (sh,) * n_in,
+                         out_shardings=sh)
         _FUSED_CACHE[key] = (self._F, fn)
         return fn
 
@@ -234,8 +286,9 @@ class _FitCache:
         F = self._F
         dt = self._dt
         nw, nws = self._cfg.nearness_weighting, self._cfg.nearness_strength
+        captured = isinstance(F, CapturedSDF)
 
-        def fused(c, d, p):
+        def fused(caps, c, d, p):
             cc = c.shape[0]
             half = jnp.exp2(-(d.astype(c.dtype) + 1.0))
             gax = c[:, :, None] + half[:, None, None] * xj       # (cc, 3, Q)
@@ -243,7 +296,8 @@ class _FitCache:
             py = jnp.broadcast_to(gax[:, 1, None, :, None], (cc, Q, Q, Q))
             pz = jnp.broadcast_to(gax[:, 2, None, None, :], (cc, Q, Q, Q))
             pts = jnp.stack([px, py, pz], axis=-1).reshape(-1, 3)
-            Fv = F(pts).astype(dt).reshape(cc, Q, Q, Q)
+            Fv = (F.fn(caps, pts) if captured else F(pts))
+            Fv = Fv.astype(dt).reshape(cc, Q, Q, Q)
             return _fit_impl(nw, nws, degree, pw, Fv, d, p)
 
         return jax.jit(fused)
@@ -258,9 +312,10 @@ class _FitCache:
         xh, xl = (jnp.asarray(v) for v in df64.from_f64(x))      # (Q,)
         F = self._F
         df_aware = isinstance(F, df64.DF64Fn)
+        captured = isinstance(F, CapturedSDF)
         nw, nws = self._cfg.nearness_weighting, self._cfg.nearness_strength
 
-        def fused(c, d, ph, pl):
+        def fused(caps, c, d, ph, pl):
             # c: (cc, 3) f32 centres -- exact (multiples of 2**-(depth+2));
             # half is an exact power of two, so half*x stays an exact pair
             # and the centre add is a two_sum: the quadrature points carry
@@ -287,7 +342,8 @@ class _FitCache:
                 vh = vh.astype(jnp.float32)
                 vl = vl.astype(jnp.float32)
             else:
-                vh = F(pts_h).astype(jnp.float32)
+                vh = (F.fn(caps, pts_h) if captured
+                      else F(pts_h)).astype(jnp.float32)
                 vl = jnp.zeros_like(vh)
             Fh = vh.reshape(cc, Q, Q, Q)
             Fl = vl.reshape(cc, Q, Q, Q)
@@ -308,7 +364,10 @@ class _FitCache:
         # rebuilds' tree-query F at 24M-point shapes).
         Q = basis.fit_rule_size(degree)
         cc = min(_bucket(M), max(256, self.block_pts // Q**3))
+        cc = -(-cc // self._ndev) * self._ndev      # shardable block size
         fn = self._get(degree, pw, cc)
+        caps = (self._F.captures if isinstance(self._F, CapturedSDF)
+                else jnp.zeros(0, jnp.float32))
         outs = []          # jnp outputs; converted AFTER all dispatches so
         for s in range(0, M, cc):          # blocks overlap on the device
             c = centres[s: s + cc]
@@ -322,10 +381,12 @@ class _FitCache:
                 p = np.concatenate([p, np.zeros((pad, pw), p.dtype)])
             if self._comp:
                 ph, pl = df64.from_f64(p)
-                outs.append(fn(jnp.asarray(c, self._dt), jnp.asarray(d),
+                outs.append(fn(caps, jnp.asarray(c, self._dt),
+                               jnp.asarray(d),
                                jnp.asarray(ph), jnp.asarray(pl)))
             else:
-                outs.append(fn(jnp.asarray(c, self._dt), jnp.asarray(d),
+                outs.append(fn(caps, jnp.asarray(c, self._dt),
+                               jnp.asarray(d),
                                jnp.asarray(p, self._dt)))
         if self._comp:
             out_c = [np.asarray(ch, np.float64) + np.asarray(cl, np.float64)
@@ -419,12 +480,18 @@ class _State:
 
 def build(config: Config, F: SDFFn, *,
           continuity_fn=None, progress: Callable[[str], None] | None = None,
-          ) -> Octree:
+          fit_mesh=None) -> Octree:
     """Approximate ``F`` with an hp-adaptive Legendre octree.
 
     Equivalent of Octree::Create (Source/HP/Octree.cpp:312-352). ``F`` maps
     world points (K, 3) -> (K,) and must be jax-traceable (it is evaluated
     on-device at every quadrature node of every fit, batched).
+
+    ``fit_mesh``: optional jax.sharding.Mesh -- every refinement round's
+    F-evaluation + projection shards its cell blocks over all devices of
+    the mesh (the TPU equivalent of the reference's BuildThreadPool work
+    distribution, SURVEY.md 5.7; topology stays host-side). Results are
+    bit-identical to the single-device build: cells are data-parallel.
     """
     config.validate()
     t0 = time.monotonic()
@@ -438,14 +505,25 @@ def build(config: Config, F: SDFFn, *,
     # the process-wide fused-program cache and re-trace every fit program
     # on every build (~5 s per program through the TPU tunnel).
     comp = config.fit_dtype == "compensated"
-    wkey = (id(F), config.fit_dtype, tuple(config.root_min),
+    wkey = (_f_key(F), config.fit_dtype, tuple(config.root_min),
             tuple(config.root_max))
     hit = _WRAP_CACHE.get(wkey)
-    if hit is not None and hit[0] is F:
+    if hit is not None and (isinstance(F, CapturedSDF) or hit[0] is F):
         F_int = hit[1]
+        if isinstance(F, CapturedSDF):
+            # reuse the traced program structure with THIS tree's arrays
+            F_int = CapturedSDF(F_int.fn, F.captures, F_int.key)
     else:
         if comp and isinstance(F, df64.DF64Fn):
             F_int = df64.AffineWrap(F, config.root_sizes, config.root_centre)
+        elif isinstance(F, CapturedSDF):
+            tdt = jnp.float32 if comp else jnp.dtype(config.fit_dtype)
+            root_centre = jnp.asarray(config.root_centre, tdt)
+            root_sizes = jnp.asarray(config.root_sizes, tdt)
+            inner = F.fn
+            F_int = CapturedSDF(
+                lambda caps, pts: inner(caps, pts * root_sizes + root_centre),
+                F.captures, ("affine", wkey))
         else:
             tdt = jnp.float32 if comp else jnp.dtype(config.fit_dtype)
             root_centre = jnp.asarray(config.root_centre, tdt)
@@ -457,7 +535,7 @@ def build(config: Config, F: SDFFn, *,
         _WRAP_CACHE[wkey] = (F, F_int)
 
     st = _State(config)
-    fit = _FitCache(F_int, config)
+    fit = _FitCache(F_int, config, mesh=fit_mesh)
 
     def log(msg):
         if config.enable_logging:

@@ -45,7 +45,8 @@ def fit_to_depth(tree: Octree, origins, dirs, target_t, target_hit,
                  surface_weight: float = 1.0,
                  depth_weight: float = 0.1,
                  anchor_weight: float = 1.0,
-                 eikonal_weight: float = 0.1) -> InverseResult:
+                 eikonal_weight: float = 0.1,
+                 ray_chunk: int = 1 << 16) -> InverseResult:
     """Gradient-descent the tree's coefficients so its sphere-traced depths
     match ``target_t`` on ``target_hit`` rays (Adam, jitted lax.scan).
 
@@ -70,7 +71,11 @@ def fit_to_depth(tree: Octree, origins, dirs, target_t, target_hit,
     (|grad f| - 1)^2 at the band points keeps the optimized field
     metric (IGR-style): sphere tracing assumes |grad f| <= 1, and an
     unconstrained fit develops slopes >> 1 at the new surface, which makes
-    even a capped march overshoot the crossing."""
+    even a capped march overshoot the crossing.
+
+    Rays are processed in ``ray_chunk``-sized rematerialized chunks inside
+    a lax.scan, so the working set is chunk-sized regardless of B --
+    1920x1080 ray grids (BASELINE config #5) fit one chip."""
     import optax
 
     tree32 = R._tree_f32(tree)
@@ -86,32 +91,50 @@ def fit_to_depth(tree: Octree, origins, dirs, target_t, target_hit,
     target_hit = jnp.asarray(target_hit)
     tm = jnp.float32(t_max)
 
+    B = origins.shape[0]
+    chunk = min(ray_chunk, B)
+    pad = (-B) % chunk
+    if pad:
+        # padded rays: target_hit False, so every masked term ignores them
+        origins = jnp.concatenate(
+            [origins, jnp.broadcast_to(origins[-1:], (pad, 3))])
+        dirs = jnp.concatenate([dirs, jnp.broadcast_to(dirs[-1:], (pad, 3))])
+        target_t = jnp.concatenate([target_t, jnp.zeros(pad, jnp.float32)])
+        target_hit = jnp.concatenate(
+            [target_hit, jnp.zeros(pad, bool)])
+    n_chunks = origins.shape[0] // chunk
+
+    def chunks_of(x):
+        return x.reshape((n_chunks, chunk) + x.shape[1:])
+
+    data = (chunks_of(origins), chunks_of(dirs), chunks_of(target_t),
+            chunks_of(target_hit))
+
     opt = optax.adam(lr)
     coeffs0 = tree.coeffs.astype(jnp.float32)
     band = jnp.float32(0.02)
-    surf_pts = origins + target_t[..., None] * dirs
-    out_pts = origins + (target_t - band)[..., None] * dirs
-    in_pts = origins + (target_t + band)[..., None] * dirs
-    # free-space carving samples: stratified points strictly before the
-    # target surface must stay positive (prevents spurious early surfaces)
     fracs = jnp.asarray([0.35, 0.6, 0.8, 0.93], jnp.float32)
-    free_pts = (origins[None] + (fracs[:, None, None]
-                                 * target_t[None, :, None]) * dirs[None])
-    surf_m = target_hit.astype(jnp.float32)
-    surf_n = jnp.maximum(jnp.sum(surf_m), 1.0)
+    surf_n = jnp.maximum(jnp.sum(target_hit.astype(jnp.float32)), 1.0)
+    hit_n = surf_n                       # masked-depth normalizer proxy
     sw = jnp.float32(surface_weight)
     half = band * 0.5
 
-    def loss_fn(coeffs):
-        c32 = coeffs.astype(jnp.float32)
-        pk = accel.repack(packed, support, c32)
+    def chunk_loss(c32, pk_rows, pk_grid, od):
+        """Sum-form loss terms over one ray chunk (normalized globally)."""
+        o, d, t_tgt, h_tgt = od
         t, hit, _ = R._trace_core(
-            static, pk.rows, pk.grid, tree32.child_idx, tree32.centre,
-            tree32.depth, c32, origins, dirs, tm)
-        loss = jnp.float32(depth_weight) * depth_loss(
-            t, hit, target_t, target_hit)
+            static, pk_rows, pk_grid, tree32.child_idx, tree32.centre,
+            tree32.depth, c32, o, d, tm)
+        m = (hit & h_tgt).astype(jnp.float32)
+        depth_sum = jnp.sum(m * (t - t_tgt) ** 2)
         tr = R._rebuild_tree(static, tree32.child_idx, tree32.centre,
                              tree32.depth, c32)
+        surf_m = h_tgt.astype(jnp.float32)
+        surf_pts = o + t_tgt[..., None] * d
+        out_pts = o + (t_tgt - band)[..., None] * d
+        in_pts = o + (t_tgt + band)[..., None] * d
+        free_pts = (o[None] + (fracs[:, None, None]
+                               * t_tgt[None, :, None]) * d[None])
         fsurf = R._values_at(tr, surf_pts)
         f_in = R._values_at(tr, in_pts)       # want <= -band/2 (inside)
         f_out = R._values_at(tr, out_pts)     # want >= +band/2 (outside)
@@ -119,12 +142,9 @@ def fit_to_depth(tree: Octree, origins, dirs, target_t, target_hit,
         field = (fsurf ** 2
                  + jax.nn.relu(f_in + half) ** 2
                  + jax.nn.relu(half - f_out) ** 2)
-        free = jnp.sum(surf_m[None]
-                       * jax.nn.relu(half
-                                     - f_free.reshape(free_pts.shape[:2]))
-                       ** 2) / (surf_n * fracs.shape[0])
-        anchor = jnp.float32(anchor_weight) * jnp.mean(
-            (c32 - coeffs0) ** 2)
+        free_sum = jnp.sum(surf_m[None]
+                           * jax.nn.relu(half - f_free.reshape(
+                               free_pts.shape[:2])) ** 2)
         # eikonal: per-point spatial gradients of the band points in one
         # backward pass (grad of the sum = per-point gradient)
         band_pts = jnp.concatenate([surf_pts, in_pts, out_pts], axis=0)
@@ -133,10 +153,24 @@ def fit_to_depth(tree: Octree, origins, dirs, target_t, target_hit,
         # masked miss-ray point) has a NaN norm-gradient otherwise
         gnorm = jnp.sqrt(jnp.sum(gpts * gpts, axis=-1) + 1e-12)
         m3 = jnp.concatenate([surf_m, surf_m, surf_m], axis=0)
-        eik = (jnp.float32(eikonal_weight)
-               * jnp.sum(m3 * (gnorm - 1.0) ** 2) / (3.0 * surf_n))
-        return (loss + sw * (jnp.sum(surf_m * field) / surf_n + free)
-                + anchor + eik)
+        eik_sum = jnp.sum(m3 * (gnorm - 1.0) ** 2)
+        return (jnp.float32(depth_weight) * depth_sum / hit_n
+                + sw * (jnp.sum(surf_m * field)
+                        + free_sum / fracs.shape[0]) / surf_n
+                + jnp.float32(eikonal_weight) * eik_sum / (3.0 * surf_n))
+
+    chunk_loss = jax.checkpoint(chunk_loss)
+
+    def loss_fn(coeffs):
+        c32 = coeffs.astype(jnp.float32)
+        pk = accel.repack(packed, support, c32)
+
+        def body(acc, od):
+            return acc + chunk_loss(c32, pk.rows, pk.grid, od), None
+
+        total, _ = jax.lax.scan(body, jnp.float32(0.0), data)
+        anchor = jnp.float32(anchor_weight) * jnp.mean((c32 - coeffs0) ** 2)
+        return total + anchor
 
     @jax.jit
     def run(coeffs0):
