@@ -69,9 +69,16 @@ class CapturedSDF:
 
 
 def _f_key(F):
-    """Cache identity of an F: CapturedSDFs by their structural key (their
-    array contents travel as arguments), everything else by object id."""
-    return F.key if isinstance(F, CapturedSDF) else id(F)
+    """Cache identity of an F: CapturedSDF / keyed DF64Fn instances by
+    their structural key (their array state travels through jit as
+    arguments, so same-structure instances share traced programs);
+    everything else by object id."""
+    key = getattr(F, "key", None)
+    return key if key is not None else id(F)
+
+
+def _f_captures(F):
+    return getattr(F, "captures", jnp.zeros(0, jnp.float32))
 
 
 def _bucket(n: int, lo: int = 64) -> int:
@@ -258,9 +265,9 @@ class _FitCache:
                self._cfg.nearness_strength, degree, pw, cc,
                None if self._mesh is None
                else tuple(d.id for d in self._mesh.devices.flat))
+        keyed = getattr(self._F, "key", None) is not None
         hit = _FUSED_CACHE.get(key)
-        if hit is not None and (isinstance(self._F, CapturedSDF)
-                                or hit[0] is self._F):
+        if hit is not None and (keyed or hit[0] is self._F):
             return hit[1]
         fn = self._fused(degree, pw)
         if self._mesh is not None:
@@ -286,7 +293,8 @@ class _FitCache:
         F = self._F
         dt = self._dt
         nw, nws = self._cfg.nearness_weighting, self._cfg.nearness_strength
-        captured = isinstance(F, CapturedSDF)
+        call_caps = (F.fn if isinstance(F, CapturedSDF)
+                     else getattr(F, "call_caps", None))
 
         def fused(caps, c, d, p):
             cc = c.shape[0]
@@ -296,7 +304,7 @@ class _FitCache:
             py = jnp.broadcast_to(gax[:, 1, None, :, None], (cc, Q, Q, Q))
             pz = jnp.broadcast_to(gax[:, 2, None, None, :], (cc, Q, Q, Q))
             pts = jnp.stack([px, py, pz], axis=-1).reshape(-1, 3)
-            Fv = (F.fn(caps, pts) if captured else F(pts))
+            Fv = (call_caps(caps, pts) if call_caps is not None else F(pts))
             Fv = Fv.astype(dt).reshape(cc, Q, Q, Q)
             return _fit_impl(nw, nws, degree, pw, Fv, d, p)
 
@@ -312,7 +320,8 @@ class _FitCache:
         xh, xl = (jnp.asarray(v) for v in df64.from_f64(x))      # (Q,)
         F = self._F
         df_aware = isinstance(F, df64.DF64Fn)
-        captured = isinstance(F, CapturedSDF)
+        call_caps = (F.fn if isinstance(F, CapturedSDF)
+                     else getattr(F, "call_caps", None))
         nw, nws = self._cfg.nearness_weighting, self._cfg.nearness_strength
 
         def fused(caps, c, d, ph, pl):
@@ -338,11 +347,11 @@ class _FitCache:
 
             pts_h = grid3(axes_h)
             if df_aware:
-                vh, vl = F.eval_df(pts_h, grid3(axes_l))
+                vh, vl = F.eval_df_caps(caps, pts_h, grid3(axes_l))
                 vh = vh.astype(jnp.float32)
                 vl = vl.astype(jnp.float32)
             else:
-                vh = (F.fn(caps, pts_h) if captured
+                vh = (call_caps(caps, pts_h) if call_caps is not None
                       else F(pts_h)).astype(jnp.float32)
                 vl = jnp.zeros_like(vh)
             Fh = vh.reshape(cc, Q, Q, Q)
@@ -366,8 +375,7 @@ class _FitCache:
         cc = min(_bucket(M), max(256, self.block_pts // Q**3))
         cc = -(-cc // self._ndev) * self._ndev      # shardable block size
         fn = self._get(degree, pw, cc)
-        caps = (self._F.captures if isinstance(self._F, CapturedSDF)
-                else jnp.zeros(0, jnp.float32))
+        caps = _f_captures(self._F)
         outs = []          # jnp outputs; converted AFTER all dispatches so
         for s in range(0, M, cc):          # blocks overlap on the device
             c = centres[s: s + cc]
@@ -507,16 +515,24 @@ def build(config: Config, F: SDFFn, *,
     comp = config.fit_dtype == "compensated"
     wkey = (_f_key(F), config.fit_dtype, tuple(config.root_min),
             tuple(config.root_max))
-    hit = _WRAP_CACHE.get(wkey)
-    if hit is not None and (isinstance(F, CapturedSDF) or hit[0] is F):
-        F_int = hit[1]
-        if isinstance(F, CapturedSDF):
-            # reuse the traced program structure with THIS tree's arrays
-            F_int = CapturedSDF(F_int.fn, F.captures, F_int.key)
-    else:
-        if comp and isinstance(F, df64.DF64Fn):
+    if comp and isinstance(F, df64.DF64Fn):
+        # cheap to construct; keyed instances share fused programs anyway
+        if F.key is not None:
             F_int = df64.AffineWrap(F, config.root_sizes, config.root_centre)
-        elif isinstance(F, CapturedSDF):
+        else:
+            hit = _WRAP_CACHE.get(wkey)
+            if hit is not None and hit[0] is F:
+                F_int = hit[1]
+            else:
+                F_int = df64.AffineWrap(F, config.root_sizes,
+                                        config.root_centre)
+                _WRAP_CACHE[wkey] = (F, F_int)
+    elif isinstance(F, CapturedSDF):
+        hit = _WRAP_CACHE.get(wkey)
+        if hit is not None:
+            # reuse the traced wrapper with THIS tree's arrays
+            F_int = CapturedSDF(hit[1].fn, F.captures, hit[1].key)
+        else:
             tdt = jnp.float32 if comp else jnp.dtype(config.fit_dtype)
             root_centre = jnp.asarray(config.root_centre, tdt)
             root_sizes = jnp.asarray(config.root_sizes, tdt)
@@ -524,6 +540,11 @@ def build(config: Config, F: SDFFn, *,
             F_int = CapturedSDF(
                 lambda caps, pts: inner(caps, pts * root_sizes + root_centre),
                 F.captures, ("affine", wkey))
+            _WRAP_CACHE[wkey] = (F, F_int)
+    else:
+        hit = _WRAP_CACHE.get(wkey)
+        if hit is not None and hit[0] is F:
+            F_int = hit[1]
         else:
             tdt = jnp.float32 if comp else jnp.dtype(config.fit_dtype)
             root_centre = jnp.asarray(config.root_centre, tdt)
@@ -532,7 +553,7 @@ def build(config: Config, F: SDFFn, *,
             def F_int(pts):
                 return F(pts * root_sizes + root_centre)
 
-        _WRAP_CACHE[wkey] = (F, F_int)
+            _WRAP_CACHE[wkey] = (F, F_int)
 
     st = _State(config)
     fit = _FitCache(F_int, config, mesh=fit_mesh)

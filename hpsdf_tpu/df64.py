@@ -219,8 +219,13 @@ def contract_axis(xhi, xlo, axis: int, ahi, alo):
 class DF64Fn:
     """Base class for SDFs that can evaluate in double-f32.
 
-    Subclasses implement ``eval_df(hi, lo) -> (vhi, vlo)`` over (K, 3) point
-    pairs. ``__call__`` provides the plain-array path (any float dtype) so a
+    Subclasses implement ``eval_df_caps(caps, hi, lo) -> (vhi, vlo)`` over
+    (K, 3) point pairs, where ``caps`` is the instance's ``captures``
+    pytree of parameter arrays. Parameters travel through jit as ARGUMENTS
+    (never closure constants), so the fit programs traced for one instance
+    are reused verbatim by any other instance of the same structure
+    (``key``) -- e.g. every Sphere shares one compiled program set.
+    ``__call__`` provides the plain-array path (any float dtype) so a
     DF64Fn is also a regular ``build_octree`` F. The compensated fit
     (build.py) detects this class and feeds it full-precision quadrature
     points, which is what lets a TPU build converge at reference-default
@@ -228,60 +233,78 @@ class DF64Fn:
     ~1e-7 relative noise and no projection precision can recover it.
     """
 
-    def eval_df(self, hi, lo):
+    captures: tuple = ()
+    key = None          # structural identity; None -> object-id caching
+
+    def eval_df_caps(self, caps, hi, lo):
         raise NotImplementedError
 
-    def __call__(self, pts):
+    def eval_df(self, hi, lo):
+        return self.eval_df_caps(self.captures, hi, lo)
+
+    def call_caps(self, caps, pts):
+        """Plain-array entry with explicit captures (any float dtype)."""
         dt = pts.dtype
         if dt == jnp.float64:
             phi = pts.astype(jnp.float32)
             plo = (pts - phi.astype(jnp.float64)).astype(jnp.float32)
-            vhi, vlo = self.eval_df(phi, plo)
+            vhi, vlo = self.eval_df_caps(caps, phi, plo)
             return vhi.astype(jnp.float64) + vlo.astype(jnp.float64)
-        vhi, _ = self.eval_df(pts.astype(jnp.float32),
-                              jnp.zeros(pts.shape, jnp.float32))
+        vhi, _ = self.eval_df_caps(caps, pts.astype(jnp.float32),
+                                   jnp.zeros(pts.shape, jnp.float32))
         return vhi.astype(dt)
+
+    def __call__(self, pts):
+        return self.call_caps(self.captures, pts)
 
 
 class Sphere(DF64Fn):
     """df64 sphere SDF: |p - centre| - radius (the reference benchmark's
     analytic F, Source/Tests/HPBenchmarks.cpp:25-48)."""
 
+    key = ("df64.Sphere",)
+
     def __init__(self, radius: float, centre=(0.0, 0.0, 0.0)):
         self.radius = float(radius)
         self.centre = tuple(float(c) for c in centre)
+        r = from_f64(radius)
+        c = from_f64(np.asarray(self.centre, np.float64))
+        self.captures = (jnp.float32(r[0]), jnp.float32(r[1]),
+                         jnp.asarray(c[0]), jnp.asarray(c[1]))
 
-    def eval_df(self, hi, lo):
+    def eval_df_caps(self, caps, hi, lo):
+        r_hi, r_lo, c_hi, c_lo = caps
         acc = zeros(hi.shape[:-1])
         for a in range(3):
-            d = add_f((hi[..., a], lo[..., a]),
-                      jnp.float32(-np.float32(self.centre[a])))
-            # residual of the f32-rounded centre folded into lo
-            c_lo = jnp.float32(np.float32(self.centre[a])
-                               - np.float64(self.centre[a]))
-            d = add_f(d, c_lo)
+            d = add_f((hi[..., a], lo[..., a]), -c_hi[a])
+            d = add_f(d, -c_lo[a])
             acc = add(acc, mul(d, d))
         n = sqrt(acc)
-        r_hi, r_lo = const(self.radius)
         return add((n[0], n[1]), (-r_hi, -r_lo))
 
 
 class Box(DF64Fn):
     """df64 axis-aligned box SDF (exterior-exact, interior max-norm)."""
 
+    key = ("df64.Box",)
+
     def __init__(self, half_extents=(0.25, 0.25, 0.25),
                  centre=(0.0, 0.0, 0.0)):
         self.half = tuple(float(h) for h in half_extents)
         self.centre = tuple(float(c) for c in centre)
+        h = from_f64(np.asarray(self.half, np.float64))
+        c = from_f64(np.asarray(self.centre, np.float64))
+        self.captures = (jnp.asarray(h[0]), jnp.asarray(h[1]),
+                         jnp.asarray(c[0]), jnp.asarray(c[1]))
 
-    def eval_df(self, hi, lo):
+    def eval_df_caps(self, caps, hi, lo):
+        b_hi, b_lo, c_hi, c_lo = caps
         qh, ql, inside = [], [], None
         for a in range(3):
-            d = add_f((hi[..., a], lo[..., a]),
-                      jnp.float32(-np.float32(self.centre[a])))
+            d = add_f((hi[..., a], lo[..., a]), -c_hi[a])
+            d = add_f(d, -c_lo[a])
             mag = (jnp.abs(d[0]), jnp.sign(d[0]) * d[1])
-            bh, bl = const(self.half[a])
-            q = add(mag, (-bh, -bl))
+            q = add(mag, (-b_hi[a], -b_lo[a]))
             qh.append(q[0])
             ql.append(q[1])
             m = (q[0], q[1])
@@ -306,16 +329,22 @@ class AffineWrap(DF64Fn):
 
     def __init__(self, inner: DF64Fn, scale, shift):
         self.inner = inner
-        self.s_hi, self.s_lo = from_f64(np.asarray(scale, np.float64))
-        self.t_hi, self.t_lo = from_f64(np.asarray(shift, np.float64))
+        s = from_f64(np.asarray(scale, np.float64))
+        t = from_f64(np.asarray(shift, np.float64))
+        self.captures = (inner.captures, jnp.asarray(s[0]),
+                         jnp.asarray(s[1]), jnp.asarray(t[0]),
+                         jnp.asarray(t[1]))
+        self.key = (None if inner.key is None
+                    else ("df64.AffineWrap", inner.key))
 
-    def eval_df(self, hi, lo):
+    def eval_df_caps(self, caps, hi, lo):
+        inner_caps, s_hi, s_lo, t_hi, t_lo = caps
         outs = []
         for a in range(3):
             p = (hi[..., a], lo[..., a])
-            p = mul(p, (jnp.float32(self.s_hi[a]), jnp.float32(self.s_lo[a])))
-            p = add(p, (jnp.float32(self.t_hi[a]), jnp.float32(self.t_lo[a])))
+            p = mul(p, (s_hi[a], s_lo[a]))
+            p = add(p, (t_hi[a], t_lo[a]))
             outs.append(p)
         phi = jnp.stack([o[0] for o in outs], axis=-1)
         plo = jnp.stack([o[1] for o in outs], axis=-1)
-        return self.inner.eval_df(phi, plo)
+        return self.inner.eval_df_caps(inner_caps, phi, plo)

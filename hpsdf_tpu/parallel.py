@@ -25,7 +25,6 @@ mesh shape.
 from __future__ import annotations
 
 import dataclasses
-import functools
 
 import numpy as np
 import jax

@@ -41,6 +41,16 @@ def test_cube_topology():
     np.testing.assert_allclose(pn, -np.ones(3) / np.sqrt(3), atol=1e-12)
 
 
+def test_mesh_from_obj_convenience(tmp_path):
+    """Mesh::CreateFromObj equivalent: parse + build in one call."""
+    from hpsdf_tpu.mesh import gen
+    v, f = gen.icosphere(0.3, 2)
+    path = str(tmp_path / "m.obj")
+    gen.save_obj(path, v, f)
+    m = mesh_from_obj(path)
+    assert m.n_faces == f.shape[0]
+
+
 def test_non_watertight_rejected():
     # open square (2 triangles, boundary edges)
     v = np.asarray([(0, 0, 0), (1, 0, 0), (1, 1, 0), (0, 1, 0)], np.float64)
