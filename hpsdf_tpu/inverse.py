@@ -110,7 +110,12 @@ def fit_to_depth(tree: Octree, origins, dirs, target_t, target_hit,
     data = (chunks_of(origins), chunks_of(dirs), chunks_of(target_t),
             chunks_of(target_hit))
 
-    opt = optax.adam(lr)
+    # linear warmup: Adam's first updates move every coefficient ~lr
+    # regardless of gradient size (v-hat normalization), which wrecks the
+    # small high-order coefficients before any signal accumulates; ramping
+    # lr over the first ~10% of steps removes the transient
+    warm = max(1, n_steps // 10)
+    opt = optax.adam(optax.linear_schedule(0.0, lr, warm))
     coeffs0 = tree.coeffs.astype(jnp.float32)
     band = jnp.float32(0.02)
     fracs = jnp.asarray([0.35, 0.6, 0.8, 0.93], jnp.float32)
@@ -120,25 +125,30 @@ def fit_to_depth(tree: Octree, origins, dirs, target_t, target_hit,
     half = band * 0.5
 
     def chunk_loss(c32, pk_rows, pk_grid, od):
-        """Sum-form loss terms over one ray chunk (normalized globally)."""
+        """Sum-form loss terms over one ray chunk (normalized globally).
+
+        Field terms read through the packed f32 layout (accel.values_at on
+        the repacked rows, which are a differentiable linear function of
+        the coefficients) -- one wide gather per point instead of the
+        generic path's ~depth_used narrow gathers, which dominates the
+        step cost at 1080p ray counts."""
         o, d, t_tgt, h_tgt = od
         t, hit, _ = R._trace_core(
             static, pk_rows, pk_grid, tree32.child_idx, tree32.centre,
             tree32.depth, c32, o, d, tm)
         m = (hit & h_tgt).astype(jnp.float32)
         depth_sum = jnp.sum(m * (t - t_tgt) ** 2)
-        tr = R._rebuild_tree(static, tree32.child_idx, tree32.centre,
-                             tree32.depth, c32)
+        pk_t = dataclasses.replace(packed, rows=pk_rows, grid=pk_grid)
         surf_m = h_tgt.astype(jnp.float32)
         surf_pts = o + t_tgt[..., None] * d
         out_pts = o + (t_tgt - band)[..., None] * d
         in_pts = o + (t_tgt + band)[..., None] * d
         free_pts = (o[None] + (fracs[:, None, None]
                                * t_tgt[None, :, None]) * d[None])
-        fsurf = R._values_at(tr, surf_pts)
-        f_in = R._values_at(tr, in_pts)       # want <= -band/2 (inside)
-        f_out = R._values_at(tr, out_pts)     # want >= +band/2 (outside)
-        f_free = R._values_at(tr, free_pts.reshape(-1, 3))
+        fsurf = accel.values_at(pk_t, surf_pts)
+        f_in = accel.values_at(pk_t, in_pts)   # want <= -band/2 (inside)
+        f_out = accel.values_at(pk_t, out_pts)  # want >= +band/2 (outside)
+        f_free = accel.values_at(pk_t, free_pts.reshape(-1, 3))
         field = (fsurf ** 2
                  + jax.nn.relu(f_in + half) ** 2
                  + jax.nn.relu(half - f_out) ** 2)
@@ -148,7 +158,8 @@ def fit_to_depth(tree: Octree, origins, dirs, target_t, target_hit,
         # eikonal: per-point spatial gradients of the band points in one
         # backward pass (grad of the sum = per-point gradient)
         band_pts = jnp.concatenate([surf_pts, in_pts, out_pts], axis=0)
-        gpts = jax.grad(lambda P: jnp.sum(R._values_at(tr, P)))(band_pts)
+        gpts = jax.grad(
+            lambda P: jnp.sum(accel.values_at(pk_t, P)))(band_pts)
         # eps inside the sqrt: a zero spatial gradient (flat fit, or a
         # masked miss-ray point) has a NaN norm-gradient otherwise
         gnorm = jnp.sqrt(jnp.sum(gpts * gpts, axis=-1) + 1e-12)

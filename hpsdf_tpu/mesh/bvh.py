@@ -90,27 +90,29 @@ def kd_order(cent: np.ndarray, T2: int) -> np.ndarray:
     cluster prune live off.
     """
     T = cent.shape[0]
-    coords = np.full((T2, 3), BIG, np.float64)
-    coords[:T] = cent
-    seg = np.zeros(T2, np.int64)         # segment id per SLOT (sorted order)
+    # f32 keys: ordering quality is insensitive to centroid rounding and
+    # the per-level argsorts are memory-bound
+    coords = np.full((T2, 3), BIG, np.float32)
+    coords[:T] = cent.astype(np.float32)
     order = np.arange(T2)
-    levels = max(0, (T2 - 1).bit_length())
     half = T2
-    for _ in range(levels):
-        if half <= 1:
-            break
+    while half > 2:
+        # per-segment extents -> split axis (segments are equal-size,
+        # contiguous runs, so everything vectorizes as (nseg, half) blocks;
+        # per-row argsort beats a global lexsort ~2x at 2M slots)
         c = coords[order]
-        # per-segment extents -> split axis (segments are equal-size runs)
         nseg = T2 // half
         cs = c.reshape(nseg, half, 3)
         ext = cs.max(axis=1) - cs.min(axis=1)            # (nseg, 3)
         axis = np.argmax(ext, axis=1)                    # (nseg,)
-        key = cs[np.arange(nseg)[:, None], :, axis[:, None]].reshape(-1)
-        # stable sort within segments: lexsort by (segment, coord)
-        idx = np.lexsort((key, seg))
-        order = order[idx]
+        key = np.take_along_axis(
+            cs, axis[:, None, None], axis=2)[..., 0]     # (nseg, half)
+        idx = np.argsort(key, axis=1, kind="stable")     # within segments
+        order = np.take_along_axis(order.reshape(nseg, half), idx,
+                                   axis=1).reshape(-1)
         half //= 2
-        seg = np.arange(T2) // half
+    # segments of size 2 need no further ordering: the heap level above the
+    # leaves stores the union of both triangles' AABBs either way
     return order
 
 

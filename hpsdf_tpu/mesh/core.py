@@ -83,7 +83,10 @@ def build_mesh(vertices: np.ndarray, faces: np.ndarray) -> TriMesh:
     fn = np.divide(fn, lens, out=np.zeros_like(fn), where=lens > 0)
 
     # --- angle-weighted vertex pseudo-normals (Mesh.cpp:216-242) -----------
+    # np.bincount per component instead of np.add.at: the scatter-add is
+    # ~10x slower at reference scale (1.3M faces)
     vpn = np.zeros_like(v)
+    nv = v.shape[0]
     for e in range(3):
         p0 = v[fc[:, e]]
         p1 = v[fc[:, (e + 1) % 3]]
@@ -94,7 +97,10 @@ def build_mesh(vertices: np.ndarray, faces: np.ndarray) -> TriMesh:
                   / np.maximum(np.linalg.norm(u1, axis=1)
                                * np.linalg.norm(u2, axis=1), 1e-300))
         ang = np.arccos(np.clip(cosang, -1.0, 1.0))
-        np.add.at(vpn, fc[:, e].astype(np.int64), ang[:, None] * fn)
+        idx = fc[:, e].astype(np.int64)
+        for k in range(3):
+            vpn[:, k] += np.bincount(idx, weights=ang * fn[:, k],
+                                     minlength=nv)
     lens = np.linalg.norm(vpn, axis=1, keepdims=True)
     vpn = np.divide(vpn, lens, out=np.zeros_like(vpn), where=lens > 0)
 
