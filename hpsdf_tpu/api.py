@@ -89,9 +89,28 @@ def as_sdf(tree: Octree, packed_reads: bool | None = None) -> CapturedSDF:
 def _csg(tree: Octree, F: SDFFn, op: str, combine, **kw) -> Octree:
     old = as_sdf(tree)
     inner = old.fn
-    comb = CapturedSDF(
-        lambda caps, pts: combine(inner(caps, pts), F(pts)),
-        old.captures, (op, old.key, _build._f_key(F)))
+    f_call = (F.fn if isinstance(F, CapturedSDF)
+              else getattr(F, "call_caps", None))
+    if f_call is not None:
+        # F carries array state (CapturedSDF / df64.DF64Fn): thread it
+        # through jit as an ARGUMENT alongside the tree's captures. Baking
+        # it into the combine closure while keying the program by F's
+        # STRUCTURAL key would silently reuse the first operand's compiled
+        # program for every later same-structure operand (two different
+        # df64.Spheres share key ("df64.Sphere",)) -- the round-2 advisor's
+        # high-severity stale-cache bug.
+        comb = CapturedSDF(
+            lambda caps, pts: combine(inner(caps[0], pts),
+                                      f_call(caps[1], pts)),
+            (old.captures, _build._f_captures(F)),
+            (op, old.key, _build._f_key(F)))
+    else:
+        # plain closure F: nothing to thread; _f_key(F) is id(F), so the
+        # cached program can only ever be hit by this exact object (which
+        # the cache entry keeps alive -- no id reuse while it lives).
+        comb = CapturedSDF(
+            lambda caps, pts: combine(inner(caps, pts), F(pts)),
+            old.captures, (op, old.key, _build._f_key(F)))
     return build_octree(tree.config, comb, **kw)
 
 

@@ -31,6 +31,7 @@ error estimate and F evaluation runs batched on device.
 
 from __future__ import annotations
 
+import collections
 import functools
 import math
 import time
@@ -57,6 +58,16 @@ class CapturedSDF:
     programs reusable across any same-shaped captures. ``key`` identifies
     the program structure (op name + capture shapes + inner-F identity) for
     the process-wide fused-program cache.
+
+    CACHE CONTRACT: a non-None ``key`` asserts that ``fn`` is a pure
+    function of ``(captures, pts)`` given the key -- EVERY array (and any
+    other run-to-run-varying state) ``fn`` reads must be threaded through
+    ``captures``, and every structural choice baked into the closure
+    (shapes, degrees, inner-F identity for un-captured closures) must
+    appear in the key. A key that under-describes its closure makes the
+    program caches silently return a program traced for a DIFFERENT
+    instance. When in doubt, leave ``key`` None: id()-keyed entries can
+    only be hit by the exact same object (which the cache pins alive).
     """
 
     def __init__(self, fn, captures, key):
@@ -208,17 +219,48 @@ def _fit_impl_df64(nw: NearnessWeighting, nw_strength: float, degree: int,
     return c[0], c[1], err
 
 
+class _LRU:
+    """Bounded access-ordered cache for compiled programs.
+
+    Entries pin their values -- the traced programs AND the F objects they
+    were traced for -- which is what makes id()-based keys safe: an id can
+    only be reused after its object dies, and the object cannot die while
+    its entry lives (evicted entry => cache miss, never a stale hit).
+    Bounding the cache releases old pins instead of growing without limit:
+    each CSG rebuild's entry pins that tree's packed rows/grid on device
+    for the process lifetime otherwise (round-2 advisor, medium)."""
+
+    def __init__(self, cap: int = 128):
+        self._d: "collections.OrderedDict" = collections.OrderedDict()
+        self._cap = cap
+
+    def get(self, key):
+        v = self._d.get(key)
+        if v is not None:
+            self._d.move_to_end(key)
+        return v
+
+    def __setitem__(self, key, value):
+        self._d[key] = value
+        self._d.move_to_end(key)
+        while len(self._d) > self._cap:
+            self._d.popitem(last=False)
+
+    def clear(self):
+        self._d.clear()
+
+
 # Process-wide cache of compiled fused fit programs. A per-build cache
 # would re-trace (and re-look-up through the TPU tunnel's compile cache)
 # every program on every build -- measured ~5 s per program per build on
-# the axon tunnel, dominating warm rebuild time. Keyed by the F OBJECT
-# (kept alive in the value to make id() collisions impossible) plus every
-# config field the traced program closes over.
-_FUSED_CACHE: dict = {}
+# the axon tunnel, dominating warm rebuild time. Keyed by _f_key(F) plus
+# every config field the traced program closes over; see the CapturedSDF
+# docstring for the purity contract non-None keys must satisfy.
+_FUSED_CACHE = _LRU()
 
 # Domain-normalization wrappers, memoized so repeated builds of the same F
 # present the SAME F object to the fused-program cache above.
-_WRAP_CACHE: dict = {}
+_WRAP_CACHE = _LRU()
 
 
 class _FitCache:

@@ -163,13 +163,17 @@ _BLOCK_ELEMS = 1 << 23
 def _prune_append(rows, cols, vals, r, c, v):
     """Append COO entries with the reference's EPSILON_F32 pruning applied
     immediately (Octree.cpp:1336-1340), keeping host memory proportional to
-    surviving entries rather than dense blocks."""
+    surviving entries rather than dense blocks. ``r``/``c`` may be any
+    shape broadcastable to ``v`` (broadcast happens against v's original
+    shape, BEFORE raveling)."""
+    if r.size != v.size:
+        r = np.broadcast_to(r, v.shape)
+    if c.size != v.size:
+        c = np.broadcast_to(c, v.shape)
     v = v.ravel()
     keep = np.abs(v) > consts.EPSILON_F32
-    rows.append(np.broadcast_to(r, v.shape).ravel()[keep]
-                if r.size != v.size else r.ravel()[keep])
-    cols.append(np.broadcast_to(c, v.shape).ravel()[keep]
-                if c.size != v.size else c.ravel()[keep])
+    rows.append(r.ravel()[keep])
+    cols.append(c.ravel()[keep])
     vals.append(v[keep])
 
 

@@ -233,8 +233,12 @@ class DF64Fn:
     ~1e-7 relative noise and no projection precision can recover it.
     """
 
+    # structural identity; None -> object-id caching. A non-None key
+    # PROMISES eval_df_caps is a pure function of (caps, pts): every
+    # parameter must live in ``captures``, none in instance attributes the
+    # evaluation reads directly -- same contract as build.CapturedSDF.key.
     captures: tuple = ()
-    key = None          # structural identity; None -> object-id caching
+    key = None
 
     def eval_df_caps(self, caps, hi, lo):
         raise NotImplementedError

@@ -110,6 +110,32 @@ def test_csg_intersect_subtract():
     assert np.abs(got - np.maximum(-sv, bv)).max() < 0.05
 
 
+def test_csg_keyed_operands_not_conflated():
+    # Round-2 advisor, HIGH: two same-structure keyed operands (both
+    # df64.Sphere instances share the structural key ("df64.Sphere",))
+    # must not reuse one compiled CSG program's baked-in operand state.
+    # Before the fix, the second union returned a tree bit-identical to
+    # the first -- silently built against the first sphere.
+    from hpsdf_tpu import df64
+
+    cfg = hp.Config(target_error=1e-7, fit_dtype="compensated",
+                    continuity=False)
+    base = hp.build_octree(cfg, df64.Sphere(0.3))
+    t1 = hp.union_sdf(base, df64.Sphere(0.2, centre=(0.3, 0.0, 0.0)))
+    t2 = hp.union_sdf(base, df64.Sphere(0.45))
+    assert not np.array_equal(np.asarray(t1.coeffs), np.asarray(t2.coeffs))
+
+    pts = uniform_pts(50_000, seed=17)
+    base_v = np.linalg.norm(pts, axis=-1) - 0.3
+    want1 = np.minimum(base_v,
+                       np.linalg.norm(pts - [0.3, 0, 0], axis=-1) - 0.2)
+    want2 = np.minimum(base_v, np.linalg.norm(pts, axis=-1) - 0.45)
+    got1 = np.asarray(hp.query(t1, jnp.asarray(pts)))
+    got2 = np.asarray(hp.query(t2, jnp.asarray(pts)))
+    assert np.abs(got1 - want1).max() < 0.05
+    assert np.abs(got2 - want2).max() < 0.05
+
+
 def test_grid_query_shape(sphere_tree):
     g = hp.query_grid(sphere_tree, 32)
     assert g.shape == (32, 32, 32)

@@ -222,3 +222,19 @@ def test_build_octree_with_continuity_flag():
     got = np.asarray(hp.query(tree, jnp.asarray(pts)))
     want = np.asarray(sphere_sdf(radius=0.3)(jnp.asarray(pts)))
     assert np.abs(got - want).max() < 0.01
+
+
+def test_prune_append_broadcasts_2d():
+    # Round-2 advisor, low: the broadcast fallback must broadcast r/c to
+    # v's ORIGINAL 2-D shape before raveling (broadcasting (P, K) -> (P*K,)
+    # is invalid and used to raise for any 2-D v with r.size != v.size).
+    from hpsdf_tpu import continuity as cont
+
+    rows, cols, vals = [], [], []
+    v = np.array([[1.0, 0.0], [2e-7, 3.0]])
+    r = np.array([[5], [6]])          # (2, 1) -> (2, 2)
+    c = np.array([7, 8])              # (2,)   -> (2, 2)
+    cont._prune_append(rows, cols, vals, r, c, v)
+    assert np.array_equal(rows[0], [5, 6])
+    assert np.array_equal(cols[0], [7, 8])
+    np.testing.assert_allclose(vals[0], [1.0, 3.0])

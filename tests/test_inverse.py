@@ -70,3 +70,19 @@ def test_fit_to_depth_recovers_target(trees):
     assert np.median(err) < 0.25 * np.median(err0), (
         np.median(err0), np.median(err))
     assert np.median(err) < 5e-3
+
+
+def test_loss_chunk_invariant(trees):
+    # Round-2 advisor, low: the chunked depth term must normalize by the
+    # TOTAL (hit & target_hit) count accumulated across chunks (the
+    # depth_loss contract), so the loss trajectory is identical whatever
+    # the ray chunking -- including the padded-tail path.
+    init, target = trees
+    o, d = camera_rays((0.0, 0.0, -1.8), (0.0, 0.0, 0.0),
+                       width=20, height=20)   # B=400
+    tgt_t, tgt_hit = inverse.render_targets(target, o, d, t_max=5.0)
+    runs = [inverse.fit_to_depth(init, o, d, tgt_t, tgt_hit, n_steps=3,
+                                 lr=1e-3, t_max=5.0, ray_chunk=rc).losses
+            for rc in (400, 96)]              # 96 forces padding (400->480)
+    np.testing.assert_allclose(np.asarray(runs[0]), np.asarray(runs[1]),
+                               rtol=2e-4)
