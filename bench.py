@@ -224,9 +224,11 @@ def run_suite():
     hp.build_octree(cfgc, df64.Sphere(0.3))
     t0 = time.perf_counter()
     tree_c = hp.build_octree(cfgc, df64.Sphere(0.301))
+    cg_label = ("f32 CG on-device + f64 host refinement" if _is_accel()
+                else "f64 CG")
     rec("octree_fit_continuity", time.perf_counter() - t0, "s",
-        f"{fit_dev}(fit)+cpu(f64 CG)", nodes=tree_c.n_nodes,
-        fit_dtype=fit_dtype)
+        f"{fit_dev}(fit+CG)+cpu(assembly/refine)", nodes=tree_c.n_nodes,
+        fit_dtype=fit_dtype, cg=cg_label)
 
     # --- union rebuild (HPBenchmarks.cpp:206-236) -------------------------
     def box(p):

@@ -13,7 +13,10 @@ jumps across shared leaf faces -- the reference's PerformContinuityPostProcess
   (Octree.cpp:1250-1456)                  cross-depth block factorizes into
                                           (normal) x (tan1) x (tan2) products
   Eigen CG + IncompleteCholesky           Jacobi-preconditioned CG on device,
-  (Octree.cpp:1749-1755)                  matvec = gather * vals -> segment-sum
+  (Octree.cpp:1749-1755)                  matvec = gather * vals -> segment-sum;
+                                          on accelerators the CG runs in f32
+                                          on-device with f64 host iterative
+                                          refinement (same f64 stopping rule)
 
 Analytic same-depth entries use L_p(1) = 1, L_p(-1) = (-1)^p, so the three
 block families reduce to sign patterns times normalizer products under a
@@ -396,6 +399,55 @@ def _cg_solve(rows, cols, vals, s, diag, b, x0, n: int, tol, max_iter: int):
     return x, k, jnp.sqrt(jnp.vdot(r, r))
 
 
+def _cg_solve_mixed(R, C, V, s, diag, b, x0, n: int, tol, max_iter: int,
+                    max_refine: int = 10):
+    """Device f32 CG + host f64 iterative refinement.
+
+    TPUs have no f64 datapath, so the plain f64 CG (_cg_solve) runs on the
+    host CPU backend when the default device is an accelerator. This is the
+    accelerator-resident alternative: the heavy CG iterations run in f32 ON
+    the default device, and each refinement round computes one exact f64
+    residual r = b - (M + sI)x on host (a single vectorized COO matvec,
+    trivial next to the iteration work), then solves the correction system
+    (M + sI)dx = r on device. Classic mixed-precision refinement: ~7 digits
+    gained per round, converging to full f64 accuracy for the modest
+    condition numbers the s-regularized system has (s >= 1 in practice).
+
+    Same (x, iters, residual) contract and stopping rule as _cg_solve:
+    ||r||_2 <= tol * ||b||_2 in exact f64.
+    """
+    Rj, Cj = jnp.asarray(R), jnp.asarray(C)
+    V32 = jnp.asarray(V, jnp.float32)
+    d32 = jnp.asarray(diag, jnp.float32)
+    nrm_b = float(np.linalg.norm(b))
+    x = np.asarray(x0, np.float64).copy()
+    iters = 0
+    resid = np.inf
+    for _ in range(max_refine):
+        mv = np.bincount(R, weights=V * x[C], minlength=n) + s * x
+        r = b - mv
+        resid = float(np.linalg.norm(r))
+        if resid <= tol * nrm_b:
+            break
+        # scale the correction rhs to O(1) so the f32 solve keeps its full
+        # relative precision regardless of how small the residual has become
+        scale = float(np.max(np.abs(r)))
+        if scale == 0.0:
+            break
+        # bounded inner budget: an f32 CG can stall just above a 1e-6
+        # relative residual (f32 rounding floor); rather than burning
+        # max_iter iterations against the floor, cap each round and let
+        # the outer refinement (which measures the TRUE f64 residual)
+        # decide whether another round is needed
+        dx, k, _ = _cg_solve(
+            Rj, Cj, V32, s, d32, jnp.asarray(r / scale, jnp.float32),
+            jnp.zeros(n, jnp.float32), n=n, tol=consts.EPSILON_F32,
+            max_iter=min(max_iter, 800))
+        x = x + scale * np.asarray(dx, np.float64)
+        iters += int(k)
+    return x, iters, resid
+
+
 # --------------------------------------------------------------------------
 # Sharded CG solve (multi-chip)
 # --------------------------------------------------------------------------
@@ -498,13 +550,18 @@ def _cg_solve_sharded(mesh, rows, cols, vals, s, diag, b, x0, n: int,
 # Public entry
 # --------------------------------------------------------------------------
 
-def enforce_continuity(tree: Octree, mesh=None) -> Octree:
+def enforce_continuity(tree: Octree, mesh=None, cg: str = "auto") -> Octree:
     """Return a tree whose coefficients minimize inter-cell jumps: solves
     (M + sI) c = s c0 with warm start (reference: Octree.cpp:1717-1762).
 
     Pass a ``jax.sharding.Mesh`` to run the CG row-sharded over its devices
     (the reference's OpenMP-in-Eigen data parallelism, re-designed as ICI
-    collectives)."""
+    collectives).
+
+    ``cg``: "f64" = plain f64 CG (host CPU backend when the default device
+    is an accelerator); "mixed" = accelerator-resident f32 CG with host f64
+    iterative refinement (same accuracy target, heavy work on-device);
+    "auto" = mixed on accelerators, f64 on CPU."""
     st, R, C, V = assemble_face_matrix(tree)
     if st.n_coeffs == 0:
         return tree
@@ -524,9 +581,15 @@ def enforce_continuity(tree: Octree, mesh=None) -> Octree:
     on_diag = R == C
     np.add.at(diag, R[on_diag], V[on_diag])
 
+    if cg == "auto":
+        cg = "mixed" if jax.default_backend() != "cpu" else "f64"
     if mesh is not None:
         x, iters, resid = _cg_solve_sharded(
             mesh, R, C, V, s, diag, s * c0, c0,
+            n=n, tol=consts.EPSILON_F32, max_iter=2 * n)
+    elif cg == "mixed":
+        x, iters, resid = _cg_solve_mixed(
+            R, C, V, s, diag, s * c0, c0,
             n=n, tol=consts.EPSILON_F32, max_iter=2 * n)
     else:
         from .tree import put_f64
@@ -537,9 +600,9 @@ def enforce_continuity(tree: Octree, mesh=None) -> Octree:
             max_iter=2 * n)
         iters, resid = int(iters), float(resid)
     if tree.config.enable_logging:
-        print(f"[hpsdf continuity] n={n} nnz={R.size} CG iters={iters} "
-              f"residual={resid:.3e} (tol {consts.EPSILON_F32:g}, "
-              f"max_iter {2 * n})")
+        print(f"[hpsdf continuity] n={n} nnz={R.size} cg={cg} "
+              f"iters={iters} residual={resid:.3e} "
+              f"(tol {consts.EPSILON_F32:g}, max_iter {2 * n})")
     new_coeffs = coeffs.copy()
     new_coeffs[flat_rows, flat_cols] = np.asarray(x)
     from .tree import put_f64

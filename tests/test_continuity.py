@@ -238,3 +238,37 @@ def test_prune_append_broadcasts_2d():
     assert np.array_equal(rows[0], [5, 6])
     assert np.array_equal(cols[0], [7, 8])
     np.testing.assert_allclose(vals[0], [1.0, 3.0])
+
+
+def test_mixed_precision_cg_matches_f64():
+    # Accelerator-resident path: f32 device CG + f64 host refinement must
+    # reproduce the plain f64 CG solution to near-f64 accuracy (same
+    # ||r|| <= tol*||b|| stopping rule, measured in exact f64 both ways).
+    from hpsdf_tpu import continuity as cont
+
+    cfg = hp.Config(target_error=1e-6, continuity=True,
+                    continuity_strength=8.0, max_depth=4, max_degree=4)
+    tree = hp.build_octree(cfg, sphere_sdf(radius=0.3),
+                           continuity_fn=None)            # fit only
+    t64 = cont.enforce_continuity(tree, cg="f64")
+    tmx = cont.enforce_continuity(tree, cg="mixed")
+    a = np.asarray(t64.coeffs)
+    b = np.asarray(tmx.coeffs)
+    scale = np.abs(a).max()
+    # both runs stop at ||r|| <= tol*||b||; solutions agree within the
+    # stopping-rule slack (measured ~3e-7 relative), far below the 0.01
+    # field oracle
+    assert np.abs(a - b).max() < 1e-5 * scale, np.abs(a - b).max()
+
+    # and the mixed solution's TRUE f64 residual meets the criterion
+    st, R, C, V = cont.assemble_face_matrix(tree)
+    s = float(cfg.continuity_strength)
+    leaf_ids = np.flatnonzero(st.degree[: st.n] >= 0)
+    widths = st.widths[leaf_ids]
+    fr = np.repeat(leaf_ids, widths)
+    fc = np.concatenate([np.arange(w) for w in widths])
+    x = np.asarray(tmx.coeffs)[fr, fc]
+    c0 = np.asarray(tree.coeffs)[fr, fc]
+    rhs = s * c0
+    r = rhs - (np.bincount(R, weights=V * x[C], minlength=x.size) + s * x)
+    assert np.linalg.norm(r) <= 1e-6 * np.linalg.norm(rhs)
