@@ -108,31 +108,41 @@ def time_trace(packed, device, width, height, reps):
     return (width * height) / dt / 1e6, n_hit
 
 
+# Measured cost of the TPU's dynamic-gather path for the 96-lane packed
+# rows (fixed-round decomposition experiment, v5e: 9.9 ns per row gather
+# = 384 B / 9.9 ns). Dynamic row gathers are row-count-bound far below
+# HBM streaming peak -- this is the march's REAL memory ceiling.
+GATHER_PATH_GBPS = 38.8
+
+
 def trace_roofline(packed, device, width, height, secs_per_frame):
     """Gather-bandwidth roofline of the march: per-chunk outer relocation
-    counts x (1 + extra_rounds) row gathers x row bytes, vs HBM peak."""
+    counts x (1 + extra_rounds) row gathers x row bytes, vs (a) the HBM
+    streaming peak and (b) the measured dynamic-gather path ceiling.
+    Rays are cost-sorted exactly as the timed path sorts them."""
+    from hpsdf_tpu.render import _march_key
+
     o, d = camera_rays((0.0, 0.0, -1.8), (0.0, 0.0, 0.0),
                        width=width, height=height)
     B = o.shape[0]
+    o = jax.device_put(jnp.asarray(o, jnp.float32), device)
+    d = jax.device_put(jnp.asarray(d, jnp.float32), device)
     pad = (-B) % MARCH_CHUNK
-    o = jnp.concatenate([jnp.asarray(o, jnp.float32),
-                         jnp.full((pad, 3), 10.0, jnp.float32)])
-    d = jnp.concatenate([jnp.asarray(d, jnp.float32),
-                         jnp.tile(jnp.asarray([[0., 0., 1.]], jnp.float32),
-                                  (pad, 1))])
-    oc = o.reshape(-1, MARCH_CHUNK, 3)
-    dc = d.reshape(-1, MARCH_CHUNK, 3)
 
     @jax.jit
-    def rounds(oc, dc):
+    def rounds(o, d):
+        perm = jnp.argsort(_march_key(packed, o, d))
+        o2 = jnp.concatenate([o[perm], jnp.full((pad, 3), 10.0, jnp.float32)])
+        d2 = jnp.concatenate(
+            [d[perm], jnp.tile(jnp.asarray([[0., 0., 1.]], jnp.float32),
+                               (pad, 1))])
         _, _, k = jax.lax.map(
             lambda od: _march_block(packed, od[0], od[1],
                                     jnp.float32(T_MAX), 1e-4, 200),
-            (oc, dc))
+            (o2.reshape(-1, MARCH_CHUNK, 3), d2.reshape(-1, MARCH_CHUNK, 3)))
         return k
 
-    k = np.asarray(rounds(jax.device_put(oc, device),
-                          jax.device_put(dc, device)))
+    k = np.asarray(rounds(o, d))
     rows_per_round = 1 + packed.extra_rounds       # grid row + descent rows
     gbytes = (float(k.sum()) * MARCH_CHUNK * rows_per_round
               * packed.width * 4) / 1e9
@@ -142,7 +152,9 @@ def trace_roofline(packed, device, width, height, secs_per_frame):
         gather_gbytes_per_frame=round(gbytes, 3),
         achieved_gather_gbps=round(achieved, 1),
         hbm_peak_gbps=HBM_PEAK_GBPS,
-        roofline_fraction=round(achieved / HBM_PEAK_GBPS, 4),
+        roofline_fraction_hbm=round(achieved / HBM_PEAK_GBPS, 4),
+        gather_path_gbps_measured=GATHER_PATH_GBPS,
+        gather_path_fraction=round(achieved / GATHER_PATH_GBPS, 4),
     )
 
 

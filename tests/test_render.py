@@ -134,3 +134,53 @@ def test_render_image(sphere_tree):
     # depth at the centre ~ eye distance - R
     np.testing.assert_allclose(np.asarray(depth)[32, 32], 1.8 - RADIUS,
                                atol=2e-2)
+
+
+def test_sorted_march_identical_results():
+    # Ray sorting only regroups lanes into chunks; per-lane march
+    # arithmetic is independent of chunk membership (lanes share
+    # termination, not values), so sorted and unsorted traces must agree
+    # EXACTLY on every ray of a multi-chunk batch.
+    import hpsdf_tpu as hp
+    from hpsdf_tpu.render import MARCH_CHUNK, camera_rays
+
+    cfg = hp.Config(target_error=1e-6, continuity=False, max_depth=4,
+                    max_degree=3)
+    tree = hp.build_octree(cfg, lambda p: jnp.linalg.norm(p, axis=-1) - 0.3)
+    side = int(np.ceil(np.sqrt(2 * MARCH_CHUNK)))      # > 2 chunks
+    o, d = camera_rays((0.0, 0.0, -1.8), (0.0, 0.0, 0.0),
+                       width=side, height=side)
+    rs = hp.trace(tree, o, d, t_max=5.0, sort_rays=True)
+    ru = hp.trace(tree, o, d, t_max=5.0, sort_rays=False)
+    assert np.array_equal(np.asarray(rs.hit), np.asarray(ru.hit))
+    assert np.array_equal(np.asarray(rs.t), np.asarray(ru.t))
+    assert bool(np.asarray(rs.hit).any())
+
+
+def test_overrelaxed_march_matches_plain():
+    # Over-relaxation (OMEGA=1.6) changes the approach path but not the
+    # hit guarantee: both marches stop with |f| < hit_eps, so on a
+    # unit-gradient field (sphere) hits agree and t differs by at most a
+    # few eps-bands.
+    import hpsdf_tpu as hp
+    from hpsdf_tpu import accel
+    from hpsdf_tpu.render import _march_block, camera_rays
+
+    cfg = hp.Config(target_error=1e-6, continuity=False, max_depth=4,
+                    max_degree=3)
+    tree = hp.build_octree(cfg, lambda p: jnp.linalg.norm(p, axis=-1) - 0.3)
+    pt = accel.pack_tree(tree)
+    o, d = camera_rays((0.0, 0.0, -1.8), (0.0, 0.0, 0.0),
+                       width=48, height=48)
+    o = jnp.asarray(o, jnp.float32)
+    d = jnp.asarray(d, jnp.float32)
+    tm = jnp.float32(5.0)
+    t1, h1, _ = _march_block(pt, o, d, tm, 1e-4, 200, omega=1.0)
+    t2, h2, _ = _march_block(pt, o, d, tm, 1e-4, 200)   # OMEGA default
+    h1 = np.asarray(h1)
+    h2 = np.asarray(h2)
+    # hits may disagree only on tangent-ambiguous rays; none here
+    assert np.array_equal(h1, h2)
+    m = h1
+    assert np.abs(np.asarray(t1) - np.asarray(t2))[m].max() < 5e-4
+    assert m.any()
