@@ -120,15 +120,27 @@ def build_bvh(mesh: TriMesh) -> BVH:
     """Vectorized BVH build (replaces BVH::Create, BVH.cpp:217-260):
     median-split (kd) triangle ordering + level-by-level AABB unions over a
     perfect heap."""
+    from .. import native
+
     T = mesh.n_faces
     cent = mesh.vertices[mesh.faces].mean(axis=1)
     T2 = 1 << max(0, (T - 1).bit_length())
-    full = kd_order(cent, T2)
+    # native O(n log n) nth_element recursion when available (the numpy
+    # fallback pays a full argsort per level -- measured 27.5 s vs ~1 s at
+    # 1.3M tris on this 2-vCPU host); both produce a valid median-split
+    # order, equivalence is via the BVH-vs-brute differential tests
+    full = native.kd_order(cent, T2)
+    if full is None:
+        full = kd_order(cent, T2)
     # dummy slots end at SEGMENT tails, not one global suffix: scatter the
     # real triangles to their kd slots and leave BIG rows elsewhere
     slots = np.flatnonzero(full < T)
-    tri_rows = np.full((T2, TRI_W), BIG, np.float32)
-    tri_rows[slots] = pack_triangles(mesh, full[slots])
+    tri_rows = native.pack_tri_rows(
+        mesh.vertices, mesh.faces, mesh.face_normals, mesh.vertex_pn,
+        mesh.edge_pn, full[slots], slots, T2, BIG)
+    if tri_rows is None:
+        tri_rows = np.full((T2, TRI_W), BIG, np.float32)
+        tri_rows[slots] = pack_triangles(mesh, full[slots])
 
     # leaf AABBs (dummies get +BIG boxes that never pass pruning)
     tris = tri_rows[:, :9].reshape(T2, 3, 3).astype(np.float64)

@@ -42,13 +42,22 @@ def _build() -> bool:
     src = os.path.join(_NATIVE_DIR, "hpsdf_native.cpp")
     if not os.path.exists(src):
         return False
+    # compile to a temp file + atomic rename: never truncate a .so that an
+    # older CDLL may still have mapped, and give dlopen a fresh inode so a
+    # stale-version reload actually picks up the new code
+    tmp = _LIB_PATH + f".tmp{os.getpid()}"
     try:
         subprocess.run(
             ["g++", "-O3", "-std=c++17", "-fPIC", "-shared",
-             "-o", _LIB_PATH, src],
+             "-o", tmp, src],
             check=True, capture_output=True, timeout=300)
+        os.replace(tmp, _LIB_PATH)
         return True
     except (OSError, subprocess.SubprocessError):
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 
@@ -66,6 +75,19 @@ def _load() -> ctypes.CDLL | None:
             lib = ctypes.CDLL(_LIB_PATH)
         except OSError:
             return None
+        # stale .so from an older source revision: rebuild + reload once
+        try:
+            lib.hpsdf_version.restype = ctypes.c_char_p
+            stale = lib.hpsdf_version() != b"hpsdf_native 2"
+        except AttributeError:
+            stale = True
+        if stale:
+            if not _build():
+                return None
+            try:
+                lib = ctypes.CDLL(_LIB_PATH)
+            except OSError:
+                return None
         lib.hpsdf_parse_obj.restype = ctypes.c_int
         lib.hpsdf_parse_obj.argtypes = [ctypes.c_char_p,
                                         ctypes.POINTER(_ObjData)]
@@ -74,6 +96,17 @@ def _load() -> ctypes.CDLL | None:
         lib.hpsdf_half_edges.argtypes = [
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32)]
+        lib.hpsdf_kd_order.restype = None
+        lib.hpsdf_kd_order.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32)]
+        lib.hpsdf_pack_tris.restype = None
+        lib.hpsdf_pack_tris.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_float, ctypes.POINTER(ctypes.c_float)]
         _lib = lib
         return _lib
 
@@ -130,3 +163,49 @@ def half_edge_twins(faces: np.ndarray, n_verts: int):
             "unpaired edge (boundary or non-manifold)" if rc == 1
             else "inconsistently oriented edge pair")
     return twin
+
+
+def kd_order(cent: np.ndarray, T2: int):
+    """Native recursive median-split ordering (mesh.bvh.kd_order contract):
+    cent (T,3) centroids -> (T2,) int32 permutation of slot ids where values
+    >= T are dummy tail slots. O(n log n) via nth_element per segment vs the
+    numpy path's full argsort per level. None if the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    c = np.ascontiguousarray(cent, np.float32)
+    out = np.empty(T2, np.int32)
+    lib.hpsdf_kd_order(
+        c.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        c.shape[0], int(T2),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return out
+
+
+def pack_tri_rows(verts, faces, face_n, vertex_pn, edge_pn,
+                  order, slots, T2: int, big: float):
+    """Native packed-triangle-row fill (mesh.bvh.pack_triangles + scatter):
+    returns (T2, 32) f32 rows, ``big`` everywhere except row slots[k] =
+    packed triangle order[k]. None if the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    v = np.ascontiguousarray(verts, np.float64)
+    fc = np.ascontiguousarray(faces, np.int32)
+    fn = np.ascontiguousarray(face_n, np.float64)
+    vpn = np.ascontiguousarray(vertex_pn, np.float64)
+    epn = np.ascontiguousarray(edge_pn, np.float64)
+    od = np.ascontiguousarray(order, np.int32)
+    sl = np.ascontiguousarray(slots, np.int64)
+    rows = np.empty((T2, 32), np.float32)
+    lib.hpsdf_pack_tris(
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        fc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        fn.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        vpn.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        epn.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        od.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        sl.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        od.size, int(T2), float(big),
+        rows.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return rows

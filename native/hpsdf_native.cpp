@@ -12,6 +12,7 @@
 // accumulation, watertightness checks) so the Python and native paths are
 // differential-testable against each other.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -231,6 +232,104 @@ int hpsdf_half_edges(const int32_t* faces, int64_t n_faces, int64_t n_verts,
   return open.empty() ? 0 : 1;
 }
 
-const char* hpsdf_version() { return "hpsdf_native 1"; }
+// ---------------------------------------------------------------------------
+// BVH support: median-split (kd) ordering + triangle-row packing
+// ---------------------------------------------------------------------------
+//
+// TPU-side BVH traversal (hpsdf_tpu/mesh/bvh.py) wants triangles laid out so
+// every power-of-two-aligned index range is a compact spatial box (a perfect
+// heap over a recursive median split). The numpy path builds this order with
+// one full argsort per level (O(n log^2 n) and single-threaded); here it is
+// the textbook O(n log n) selection recursion: per segment, pick the axis of
+// max extent and std::nth_element the midpoint. The reference's counterpart
+// is the agglomerative bottom-up build (Source/Meshing/BVH.cpp:26-129),
+// whose greedy pairing has no batched equivalent.
+
+namespace {
+
+struct KdCtx {
+  const float* cent;   // (T, 3)
+  int64_t T;           // real triangles; slots >= T are BIG dummies
+  int32_t* idx;        // (T2,) permutation being built
+};
+
+inline float kd_coord(const KdCtx& c, int32_t i, int axis) {
+  return i < c.T ? c.cent[3 * (int64_t)i + axis] : 1e30f;
+}
+
+void kd_recurse(KdCtx& c, int64_t lo, int64_t hi) {
+  const int64_t n = hi - lo;
+  if (n <= 2) return;
+  // axis of max extent over REAL points in the segment (dummies sort last
+  // on any axis, so they never drive the choice)
+  float mn[3] = {1e30f, 1e30f, 1e30f}, mx[3] = {-1e30f, -1e30f, -1e30f};
+  bool any = false;
+  for (int64_t k = lo; k < hi; ++k) {
+    const int32_t i = c.idx[k];
+    if (i >= c.T) continue;
+    any = true;
+    const float* p = c.cent + 3 * (int64_t)i;
+    for (int a = 0; a < 3; ++a) {
+      mn[a] = p[a] < mn[a] ? p[a] : mn[a];
+      mx[a] = p[a] > mx[a] ? p[a] : mx[a];
+    }
+  }
+  int axis = 0;
+  if (any) {
+    float best = mx[0] - mn[0];
+    for (int a = 1; a < 3; ++a)
+      if (mx[a] - mn[a] > best) best = mx[a] - mn[a], axis = a;
+  }
+  const int64_t mid = lo + n / 2;
+  std::nth_element(c.idx + lo, c.idx + mid, c.idx + hi,
+                   [&c, axis](int32_t a, int32_t b) {
+                     return kd_coord(c, a, axis) < kd_coord(c, b, axis);
+                   });
+  kd_recurse(c, lo, mid);
+  kd_recurse(c, mid, hi);
+}
+
+}  // namespace
+
+// cent: (T, 3) f32 centroids; order_out: (T2,) int32 receiving the kd
+// permutation (values < T are real triangles, >= T dummy slots). T2 must be
+// a power of two >= T.
+void hpsdf_kd_order(const float* cent, int64_t T, int64_t T2,
+                    int32_t* order_out) {
+  for (int64_t i = 0; i < T2; ++i) order_out[i] = (int32_t)i;
+  KdCtx c{cent, T, order_out};
+  kd_recurse(c, 0, T2);
+}
+
+// Pack kd-ordered triangle rows (bvh.pack_triangles equivalent): rows is
+// (T2, 32) f32, filled with `big` everywhere and, for each k, row slots[k]
+// gets triangle order[k]'s [v0 v1 v2 face_n vpn0 vpn1 vpn2 epn0 epn1 epn2].
+// verts: (V,3) f64, faces: (F,3) i32, face_n: (F,3) f64,
+// vertex_pn: (V,3) f64, edge_pn: (F,3,3) f64.
+void hpsdf_pack_tris(const double* verts, const int32_t* faces,
+                     const double* face_n, const double* vertex_pn,
+                     const double* edge_pn, const int32_t* order,
+                     const int64_t* slots, int64_t K, int64_t T2,
+                     float big, float* rows) {
+  const int W = 32;
+  for (int64_t i = 0; i < T2 * W; ++i) rows[i] = big;
+  for (int64_t k = 0; k < K; ++k) {
+    const int64_t t = order[k];
+    float* r = rows + (int64_t)W * slots[k];
+    const int32_t* fc = faces + 3 * t;
+    for (int v = 0; v < 3; ++v)
+      for (int d = 0; d < 3; ++d)
+        r[3 * v + d] = (float)verts[3 * (int64_t)fc[v] + d];
+    for (int d = 0; d < 3; ++d) r[9 + d] = (float)face_n[3 * t + d];
+    for (int v = 0; v < 3; ++v)
+      for (int d = 0; d < 3; ++d)
+        r[12 + 3 * v + d] = (float)vertex_pn[3 * (int64_t)fc[v] + d];
+    for (int e = 0; e < 3; ++e)
+      for (int d = 0; d < 3; ++d)
+        r[21 + 3 * e + d] = (float)edge_pn[9 * t + 3 * e + d];
+  }
+}
+
+const char* hpsdf_version() { return "hpsdf_native 2"; }
 
 }  // extern "C"
