@@ -162,7 +162,16 @@ def repack(packed: PackedTree, support: PackSupport,
     """Rebuild (rows, grid) for new coefficients, on device. ``coeffs``:
     (Np, cw) in any float dtype; the result matches ``pack_tree`` on a tree
     carrying those coefficients (up to f32 rounding of the fold product)."""
-    folded = (coeffs * support.fold).astype(jnp.float32)
+    return repack_folded(packed, support,
+                         (coeffs * support.fold).astype(jnp.float32))
+
+
+def repack_folded(packed: PackedTree, support: PackSupport,
+                  folded: jax.Array) -> PackedTree:
+    """Like :func:`repack` but takes the normalizer-premultiplied
+    coefficient lanes directly (the coordinates inverse rendering optimizes
+    in; see inverse.fit_to_depth ``param_space``)."""
+    folded = folded.astype(jnp.float32)
     W = packed.rows.shape[1]
     pad = W - COEFF_LANE - folded.shape[1]
     parts = [support.meta_rows, folded]

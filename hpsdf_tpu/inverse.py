@@ -46,7 +46,8 @@ def fit_to_depth(tree: Octree, origins, dirs, target_t, target_hit,
                  depth_weight: float = 0.1,
                  anchor_weight: float = 1.0,
                  eikonal_weight: float = 0.1,
-                 ray_chunk: int = 1 << 16) -> InverseResult:
+                 ray_chunk: int = 1 << 16,
+                 param_space: str = "folded") -> InverseResult:
     """Gradient-descent the tree's coefficients so its sphere-traced depths
     match ``target_t`` on ``target_hit`` rays (Adam, jitted lax.scan).
 
@@ -75,7 +76,23 @@ def fit_to_depth(tree: Octree, origins, dirs, target_t, target_hit,
 
     Rays are processed in ``ray_chunk``-sized rematerialized chunks inside
     a lax.scan, so the working set is chunk-sized regardless of B --
-    1920x1080 ray grids (BASELINE config #5) fit one chip."""
+    1920x1080 ray grids (BASELINE config #5) fit one chip.
+
+    ``param_space`` selects the optimization coordinates:
+
+      * ``"folded"`` (default): Adam runs on the normalizer-premultiplied
+        coefficients (the packed-row coefficient lanes, accel._pack_rows).
+        Adam's per-coordinate steps are ~lr-sized regardless of parameter
+        scale, so in RAW coordinates a first-moment kick of lr on a
+        degree-6/depth-5 coefficient gets amplified by its eq-(4)
+        normalizer sqrt((2p+1) 2^d)^3 (up to ~1e3) when it reaches the
+        field -- one Adam step can wreck the fit (measured: the 1080p
+        bench's loss jumped 0.002 -> 1400 on step 1 and the depth RMSE
+        never recovered within 40 steps). In folded space a ±lr step
+        changes the field contribution by O(lr) uniformly across degrees
+        and depths.
+      * ``"raw"``: optimize tree.coeffs directly (round-2 behavior).
+    """
     import optax
 
     tree32 = R._tree_f32(tree)
@@ -116,8 +133,15 @@ def fit_to_depth(tree: Octree, origins, dirs, target_t, target_hit,
     # sphere-recovery task it does the opposite -- the loss spikes ~100x
     # mid-ramp and oscillates for the rest of the run (median depth error
     # 0.023 vs 0.003 without it). Plain Adam is the measured winner.
+    if param_space not in ("folded", "raw"):
+        raise ValueError(f"param_space must be 'folded' or 'raw', "
+                         f"got {param_space!r}")
+    folded_space = param_space == "folded"
     opt = optax.adam(lr)
     coeffs0 = tree.coeffs.astype(jnp.float32)
+    fold = support.fold                       # f32 (Np, cw), strictly > 0
+    inv_fold = 1.0 / fold
+    params0 = coeffs0 * fold if folded_space else coeffs0
     band = jnp.float32(0.02)
     fracs = jnp.asarray([0.35, 0.6, 0.8, 0.93], jnp.float32)
     surf_n = jnp.maximum(jnp.sum(target_hit.astype(jnp.float32)), 1.0)
@@ -179,9 +203,14 @@ def fit_to_depth(tree: Octree, origins, dirs, target_t, target_hit,
 
     chunk_loss = jax.checkpoint(chunk_loss)
 
-    def loss_fn(coeffs):
-        c32 = coeffs.astype(jnp.float32)
-        pk = accel.repack(packed, support, c32)
+    def loss_fn(params):
+        p32 = params.astype(jnp.float32)
+        if folded_space:
+            c32 = p32 * inv_fold
+            pk = accel.repack_folded(packed, support, p32)
+        else:
+            c32 = p32
+            pk = accel.repack(packed, support, c32)
 
         def body(acc, od):
             rest, ds, dn = chunk_loss(c32, pk.rows, pk.grid, od)
@@ -190,24 +219,25 @@ def fit_to_depth(tree: Octree, origins, dirs, target_t, target_hit,
 
         (rest, ds, dn), _ = jax.lax.scan(
             body, (jnp.float32(0.0),) * 3, data)
-        anchor = jnp.float32(anchor_weight) * jnp.mean((c32 - coeffs0) ** 2)
+        anchor = jnp.float32(anchor_weight) * jnp.mean((p32 - params0) ** 2)
         return (rest + jnp.float32(depth_weight) * ds / jnp.maximum(dn, 1.0)
                 + anchor)
 
     @jax.jit
-    def run(coeffs0):
+    def run(params0):
         def step(carry, _):
-            coeffs, opt_state = carry
-            loss, g = jax.value_and_grad(loss_fn)(coeffs)
-            updates, opt_state = opt.update(g, opt_state, coeffs)
-            return (optax.apply_updates(coeffs, updates), opt_state), loss
+            params, opt_state = carry
+            loss, g = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = opt.update(g, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state), loss
 
-        state0 = (coeffs0, opt.init(coeffs0))
-        (coeffs, _), losses = jax.lax.scan(step, state0, None,
+        state0 = (params0, opt.init(params0))
+        (params, _), losses = jax.lax.scan(step, state0, None,
                                            length=n_steps)
-        return coeffs, losses
+        return params, losses
 
-    coeffs, losses = run(coeffs0)
+    params, losses = run(params0)
+    coeffs = params * inv_fold if folded_space else params
     out = dataclasses.replace(tree, coeffs=coeffs.astype(tree.coeffs.dtype))
     return InverseResult(tree=out, losses=losses)
 
