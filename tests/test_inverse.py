@@ -48,6 +48,34 @@ def test_repack_tracks_new_coeffs(trees):
                                rtol=1e-6, atol=1e-7)
 
 
+def test_repack_folded_matches_repack(trees):
+    # repack_folded(c * fold) must be exactly repack(c): the folded lanes
+    # ARE the packed-row coefficient lanes (the inverse-rendering
+    # optimization coordinates).
+    tree, other = trees
+    packed = accel.pack_tree(tree)
+    support = accel.pack_support(tree)
+    c32 = jnp.asarray(other.coeffs, jnp.float32)
+    a = accel.repack(packed, support, c32)
+    b = accel.repack_folded(packed, support, c32 * support.fold)
+    np.testing.assert_array_equal(np.asarray(a.rows), np.asarray(b.rows))
+    np.testing.assert_array_equal(np.asarray(a.grid), np.asarray(b.grid))
+
+
+def test_fit_to_depth_raw_space_still_works(trees):
+    # param_space="raw" (round-2 behavior) stays supported and finite;
+    # bad values raise.
+    init, target = trees
+    o, d = camera_rays((0.0, 0.0, -1.8), (0.0, 0.0, 0.0), width=8, height=8)
+    tgt_t, tgt_hit = inverse.render_targets(target, o, d, t_max=5.0)
+    res = inverse.fit_to_depth(init, o, d, tgt_t, tgt_hit, n_steps=2,
+                               lr=1e-3, t_max=5.0, param_space="raw")
+    assert np.isfinite(np.asarray(res.losses)).all()
+    with pytest.raises(ValueError):
+        inverse.fit_to_depth(init, o, d, tgt_t, tgt_hit, n_steps=1,
+                             param_space="bogus")
+
+
 def test_fit_to_depth_recovers_target(trees):
     init, target = trees
     o, d = camera_rays((0.0, 0.0, -1.8), (0.0, 0.0, 0.0),
