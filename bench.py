@@ -120,7 +120,8 @@ def trace_roofline(packed, device, width, height, secs_per_frame):
     counts x (1 + extra_rounds) row gathers x row bytes, vs (a) the HBM
     streaming peak and (b) the measured dynamic-gather path ceiling.
     Rays are cost-sorted exactly as the timed path sorts them."""
-    from hpsdf_tpu.render import _march_key
+    from hpsdf_tpu.accel import LO_W
+    from hpsdf_tpu.render import _lo_of, _sorted_blocks
 
     o, d = camera_rays((0.0, 0.0, -1.8), (0.0, 0.0, 0.0),
                        width=width, height=height)
@@ -131,24 +132,28 @@ def trace_roofline(packed, device, width, height, secs_per_frame):
 
     @jax.jit
     def rounds(o, d):
-        perm = jnp.argsort(_march_key(packed, o, d))
-        o2 = jnp.concatenate([o[perm], jnp.full((pad, 3), 10.0, jnp.float32)])
+        o2 = jnp.concatenate([o, jnp.full((pad, 3), 10.0, jnp.float32)])
         d2 = jnp.concatenate(
-            [d[perm], jnp.tile(jnp.asarray([[0., 0., 1.]], jnp.float32),
-                               (pad, 1))])
-        _, _, k = jax.lax.map(
+            [d, jnp.tile(jnp.asarray([[0., 0., 1.]], jnp.float32),
+                         (pad, 1))])
+        o2, d2, _ = _sorted_blocks(packed, o2, d2)
+        lo = _lo_of(packed)            # derived once, outside the chunk map
+        _, _, kk = jax.lax.map(
             lambda od: _march_block(packed, od[0], od[1],
-                                    jnp.float32(T_MAX), 1e-4, 200),
+                                    jnp.float32(T_MAX), 1e-4, 200, lo=lo),
             (o2.reshape(-1, MARCH_CHUNK, 3), d2.reshape(-1, MARCH_CHUNK, 3)))
-        return k
+        return kk
 
-    k = np.asarray(rounds(o, d))
+    kk = np.asarray(rounds(o, d))                  # (chunks, 2) [lod, full]
+    k = kk.sum(axis=-1)
     rows_per_round = 1 + packed.extra_rounds       # grid row + descent rows
-    gbytes = (float(k.sum()) * MARCH_CHUNK * rows_per_round
-              * packed.width * 4) / 1e9
+    gbytes = (float(kk[:, 0].sum()) * LO_W + float(kk[:, 1].sum())
+              * packed.width) * MARCH_CHUNK * rows_per_round * 4 / 1e9
     achieved = gbytes / secs_per_frame
     return dict(
         outer_rounds_mean=round(float(k.mean()), 1),
+        lod_rounds_fraction=round(float(kk[:, 0].sum()) / max(k.sum(), 1),
+                                  3),
         gather_gbytes_per_frame=round(gbytes, 3),
         achieved_gather_gbps=round(achieved, 1),
         hbm_peak_gbps=HBM_PEAK_GBPS,
@@ -229,6 +234,16 @@ def run_suite():
         depth_used=tree_r.depth_used, fit_dtype=fit_dtype,
         target_error=1e-10,
         protocol="warm build, jittered radius (compiles excluded)")
+
+    # --- sphere trace on the reference-default tree (high degree: wide
+    # coefficient rows; the march's LOD phase covers the far field on
+    # 32-lane deg<=2 tables, see accel.lo_pack) ----------------------------
+    packed_r = jax.tree.map(lambda x: jax.device_put(np.asarray(x), dev),
+                            accel.pack_tree(tree_r))
+    mrays_r, _ = time_trace(packed_r, dev, 1024, 1024, 5)
+    rec("sphere_trace_refdefault_1024sq", mrays_r, "Mrays/s", accel_name,
+        deg_used=tree_r.deg_used, depth_used=tree_r.depth_used,
+        row_width=packed_r.width)
 
     # --- fit + continuity (HPBenchmarks.cpp:51-75) ------------------------
     cfgc = _fit_cfg(target_error=1e-6, continuity=True,
@@ -346,6 +361,16 @@ def run_suite():
     rec("hybrid_signed_distance_10k_1p3m", qp.shape[0] / dt / 1e3,
         "Kqueries/s", accel_name, tris=mesh_big.n_faces,
         path="two-level kd-cluster prune + exact refine (fixed-K)")
+
+    # --- 100 brute-force queries at 1.3M tris (MeshingBenchmarks.cpp:93-111
+    # runs 100 O(T) scans; the Pallas tile kernel IS that scan, batched) ---
+    qp100 = qp[:128]
+    dt = _amortized(
+        lambda p: msdf.signed_distance_tiles(bvh_big.tri_rows, p),
+        (qp100,), 3)
+    rec("brute_signed_distance_100_1p3m", qp100.shape[0] / dt,
+        "queries/s", accel_name, tris=mesh_big.n_faces, kernel="pallas",
+        note="O(T) scan per query, reference brute-force parity row")
 
     # --- 20k-tri rows kept for round-over-round comparability -------------
     vi, fi = gen.icosphere(0.3, 5)                   # 20,480 tris

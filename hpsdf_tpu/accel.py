@@ -210,16 +210,19 @@ def to_unit(pt: PackedTree, pts: jax.Array) -> jax.Array:
     return (pts - centre) * inv
 
 
-def locate(pt: PackedTree, unit: jax.Array) -> jax.Array:
-    """Packed row of the leaf containing each unit-cube point (B, W).
+def locate_in(grid: jax.Array, rows: jax.Array, grid_depth: int,
+              extra_rounds: int, unit: jax.Array) -> jax.Array:
+    """Packed row of the leaf containing each unit-cube point (B, W), read
+    from explicit (grid, rows) tables (the full-width tables of a
+    PackedTree, or the 32-lane low-degree tables from :func:`lo_pack`).
 
     One grid gather + ``extra_rounds`` masked packed-descent rounds.
     """
-    g = 1 << pt.grid_depth
+    g = 1 << grid_depth
     cell = jnp.clip(((unit + 0.5) * g).astype(jnp.int32), 0, g - 1)
     flat = (cell[..., 0] * g + cell[..., 1]) * g + cell[..., 2]
-    row = pt.grid[flat]                                   # (B, W) wide gather
-    for _ in range(pt.extra_rounds):
+    row = grid[flat]                                      # (B, W) wide gather
+    for _ in range(extra_rounds):
         child = _row_child(row)
         is_leaf = child < 0
         cc = row_meta(row)[..., 1:4]
@@ -227,9 +230,49 @@ def locate(pt: PackedTree, unit: jax.Array) -> jax.Array:
                 + ((unit[..., 1] >= cc[..., 1]).astype(jnp.int32) << 1)
                 + ((unit[..., 2] >= cc[..., 2]).astype(jnp.int32) << 2))
         nxt = jnp.where(is_leaf, jnp.int32(0), child + oct_)
-        new_row = pt.rows[nxt]
+        new_row = rows[nxt]
         row = jnp.where(is_leaf[..., None], row, new_row)
     return row
+
+
+def locate(pt: PackedTree, unit: jax.Array) -> jax.Array:
+    """Packed row of the leaf containing each unit-cube point (B, W)."""
+    return locate_in(pt.grid, pt.rows, pt.grid_depth, pt.extra_rounds, unit)
+
+
+# --------------------------------------------------------------------------
+# Low-degree (LOD) row tables for the far-field march phase
+# --------------------------------------------------------------------------
+#
+# TPU row gathers are row-count-bound at ~3.7 ns/row up to 32 f32 lanes but
+# ~9.9 ns at the 96-lane deg-6 rows (module docstring). Far from the
+# surface the march does not need the full polynomial: a 32-lane row with
+# the deg<=2 coefficients plus an exact truncation bound supports
+# CONSERVATIVE sphere-trace steps (march on v_lo - err <= f), at 2.7x
+# cheaper gathers and ~5x cheaper evals. render._march runs a first march
+# phase on these tables and hands lanes off to the full rows near the
+# surface. p-refinement concentrates degree near the surface, so far-field
+# leaves usually have deg <= 2 exactly (err = 0): phase 1 marches them at
+# full speed.
+
+LO_W = 32
+LO_COEFFS = 10                       # coeff_count(2)
+LO_ERR_LANE = COEFF_LANE + LO_COEFFS
+
+
+def lo_pack(rows: jax.Array) -> jax.Array:
+    """Derive (N, 32) low-degree rows from (N, W) packed rows, on device:
+    meta lanes 0..7 unchanged, lanes 8..17 = the deg<=2 folded coefficient
+    lanes (basis indices are grouped by total degree, basis.basis_indices),
+    lane 18 = 1.001 * sum|folded c_m, deg>2| -- a bound on |full - lo| eval
+    anywhere in the leaf (|L_p| <= 1 on [-1, 1]; the 1.001 covers the
+    LEAF_TOL overhang, |L_p(1+1e-5)| < 1.001 for p <= 12)."""
+    c = rows[:, COEFF_LANE:]
+    err = jnp.sum(jnp.abs(c[:, LO_COEFFS:]), axis=1,
+                  keepdims=True) * jnp.float32(1.001)
+    pad = jnp.zeros((rows.shape[0], LO_W - LO_ERR_LANE - 1), rows.dtype)
+    return jnp.concatenate(
+        [rows[:, :COEFF_LANE], c[:, :LO_COEFFS], err, pad], axis=1)
 
 
 def pad_products(prod: jax.Array, width: int) -> jax.Array:

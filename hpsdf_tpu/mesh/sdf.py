@@ -442,7 +442,7 @@ def signed_distance_tiles(tri_rows, pts) -> jax.Array:
 
 
 def mesh_sdf(mesh: TriMesh, bvh: BVH | None = None,
-             max_iters: int | None = None, method: str = "bvh"):
+             max_iters: int | None = None, method: str = "auto"):
     """Wrap a mesh as a batched SDF callable F: (K, 3) -> (K,) for
     build_octree (the reference wires this up in user/test code,
     MeshingUnitTests.cpp:110-138 + HPUnitTests.cpp:60-61).

@@ -54,8 +54,13 @@ MAX_STEPS = 200          # per-ray step cap        (:725)
 HIT_EPS = 1e-4           # |v| < eps  => surface   (:733)
 STEP_SCALE = 0.95        # 5% SDF-error safety     (:739)
 MIN_STEP = 1e-4          # minimum advance         (:739)
-INNER_STEPS = 4          # gather-free steps per leaf relocation (v5e sweep:
-                         # 4 edges out 3/6/8 across chunk sizes)
+INNER_STEPS = 1          # gather-free steps per leaf relocation. Round-3
+                         # v5e sweep: with over-relaxed steps lanes leave
+                         # their leaf almost every step, so batching evals
+                         # between relocations only wastes frozen-lane work
+                         # (inner=1: 12.3 Mrays/s vs 10.6 at inner=4); the
+                         # two-level structure is kept for low-omega and
+                         # step-capped marches where lanes dwell in leaves
 LEAF_TOL = 1.0 + 1e-5    # |local| bound counting as "still in this leaf"
 
 
@@ -126,12 +131,33 @@ def _eval_local(pt: PackedTree, row: jax.Array, local: jax.Array):
                    axis=-1)
 
 
+def _eval_lo(row: jax.Array, local: jax.Array):
+    """Deg<=2 eval against a loop-carried 32-lane LOD row (accel.lo_pack).
+    Returns (v_lo, err): anywhere in the leaf, v_lo - err <= f <= v_lo + err
+    for the full-degree field f."""
+    idx = basis.basis_indices(2)
+    L = basis.legendre_all(local, 2)
+    prod = (L[..., 0, idx[:, 0]] * L[..., 1, idx[:, 1]]
+            * L[..., 2, idx[:, 2]])
+    v = jnp.sum(row[..., accel.COEFF_LANE:accel.LO_ERR_LANE] * prod, axis=-1)
+    return v, row[..., accel.LO_ERR_LANE]
+
+
+def _lo_of(pt: PackedTree):
+    """(lo_grid, lo_rows) LOD tables for the far-field march phase, or None
+    when the tree is low-degree already (nothing to save)."""
+    if pt.deg_used <= 2 or pt.width <= accel.LO_W:
+        return None
+    return accel.lo_pack(pt.grid), accel.lo_pack(pt.rows)
+
+
 # Rays per independently-terminating chunk. One monolithic while_loop runs
 # every lane until the WORST ray finishes; marching camera-coherent chunks
 # through lax.map lets finished tiles stop early. Swept on v5e at 1024^2
-# rays: 4096 is the optimum (5.3 Mrays/s vs 1.2 monolithic); smaller chunks
-# under-fill the VPU, larger ones re-couple divergent rays.
-MARCH_CHUNK = 4096
+# rays (round 3, with block-sorted rays + inner=1): 8192 edges out
+# 4096/6144/16384 within ~3%; smaller chunks under-fill the VPU, larger
+# ones re-couple divergent rays (monolithic: ~10x slower).
+MARCH_CHUNK = 8192
 
 
 def _march_key(pt: PackedTree, origins, dirs):
@@ -153,6 +179,48 @@ def _march_key(pt: PackedTree, origins, dirs):
     return jnp.where(hits_box, jnp.abs(v), jnp.inf)
 
 
+# Rays per sort unit. Keys are evaluated once per block and blocks are
+# permuted/unpermuted as packed 48/16-lane rows: one WIDE row gather instead
+# of two narrow (B, 3) gathers each way (narrow-gather permutation measured
+# ~19 ms of the 31.6 ms sort pipeline at 1M rays on v5e), and the key eval +
+# argsort shrink by the block factor. Camera-adjacent rays share march cost,
+# so per-chunk cost uniformity -- the reason for sorting -- is preserved.
+# v5e sweep at 1024^2, chunk 8192/inner 1/omega 1.3: block 4 -> 12.2,
+# block 8 -> 16.2, block 16 -> 15.7 Mrays/s (unsorted: 3.9).
+SORT_BLOCK = 8
+
+
+def _sorted_blocks(pt: PackedTree, origins, dirs):
+    """Cost-sort rays at SORT_BLOCK granularity. origins/dirs length must be
+    a multiple of SORT_BLOCK (callers pad to MARCH_CHUNK first). Returns
+    (origins_sorted, dirs_sorted, block_perm)."""
+    nb = origins.shape[0] // SORT_BLOCK
+    key = _march_key(pt, origins[::SORT_BLOCK], dirs[::SORT_BLOCK])
+    perm = jnp.argsort(key)
+    rows = jnp.concatenate(
+        [origins.reshape(nb, 3 * SORT_BLOCK),
+         dirs.reshape(nb, 3 * SORT_BLOCK)], axis=1)
+    # the barrier keeps the permutation ONE wide row gather (XLA would push
+    # the slices below into it, splitting it into narrow gathers; accel.py)
+    rows = jax.lax.optimization_barrier(rows[perm])
+    return (rows[:, :3 * SORT_BLOCK].reshape(-1, 3),
+            rows[:, 3 * SORT_BLOCK:].reshape(-1, 3), perm)
+
+
+def _unsort_blocks(perm, t, hit):
+    """Invert _sorted_blocks on per-ray (t, hit): pack each block's results
+    into one row, gather rows through the inverse permutation (wide), unpack."""
+    nb = perm.shape[0]
+    out_rows = jnp.concatenate(
+        [t.reshape(nb, SORT_BLOCK),
+         hit.reshape(nb, SORT_BLOCK).astype(jnp.float32)], axis=1)
+    inv = jnp.zeros_like(perm).at[perm].set(
+        jnp.arange(nb, dtype=perm.dtype))
+    out = jax.lax.optimization_barrier(out_rows[inv])
+    return (out[:, :SORT_BLOCK].reshape(-1),
+            out[:, SORT_BLOCK:].reshape(-1) > jnp.float32(0.5))
+
+
 def _march(pt: PackedTree, origins, dirs, t_max, hit_eps, max_steps,
            step_cap=None, sort_rays: bool | None = None):
     """Chunked two-level march over a ray batch; all f32.
@@ -164,22 +232,21 @@ def _march(pt: PackedTree, origins, dirs, t_max, hit_eps, max_steps,
     of the crossing-band width restores robustness at bounded extra steps.
 
     ``sort_rays`` (default: on whenever the batch spans multiple chunks)
-    orders rays by _march_key so each chunk's lanes have similar cost.
+    orders SORT_BLOCK-sized ray blocks by _march_key so each chunk's lanes
+    have similar cost.
     """
     B = origins.shape[0]
+    lo = _lo_of(pt)
     if B <= MARCH_CHUNK:
-        return _march_block(pt, origins, dirs, t_max, hit_eps, max_steps,
-                            step_cap)
+        t, hit, kk = _march_block(pt, origins, dirs, t_max, hit_eps,
+                                  max_steps, step_cap, lo=lo)
+        return t, hit, jnp.sum(kk)
     if sort_rays is None:
         sort_rays = True
-    perm = None
-    if sort_rays:
-        perm = jnp.argsort(_march_key(pt, origins, dirs))
-        origins = origins[perm]
-        dirs = dirs[perm]
     pad = (-B) % MARCH_CHUNK
     if pad:
         # padded rays point along +z from beyond the root AABB: never active
+        # (and their sort key is +inf, so whole padded chunks stop instantly)
         far = jnp.asarray(pt.root_centre, jnp.float32) + jnp.asarray(
             pt.root_sizes, jnp.float32) * jnp.float32(10.0)
         origins = jnp.concatenate(
@@ -188,31 +255,35 @@ def _march(pt: PackedTree, origins, dirs, t_max, hit_eps, max_steps,
             [dirs, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0],
                                                 jnp.float32), (pad, 3))],
             axis=0)
+    perm = None
+    if sort_rays:
+        origins, dirs, perm = _sorted_blocks(pt, origins, dirs)
     oc = origins.reshape(-1, MARCH_CHUNK, 3)
     dc = dirs.reshape(-1, MARCH_CHUNK, 3)
-    t, hit, k = jax.lax.map(
+    t, hit, kk = jax.lax.map(
         lambda od: _march_block(pt, od[0], od[1], t_max, hit_eps, max_steps,
-                                step_cap),
+                                step_cap, lo=lo),
         (oc, dc))
-    t = t.reshape(-1)[:B]
-    hit = hit.reshape(-1)[:B]
+    t = t.reshape(-1)
+    hit = hit.reshape(-1)
     if perm is not None:
-        # scatter back to camera order (perm[i] = source ray of sorted lane i)
-        t = jnp.zeros_like(t).at[perm].set(t)
-        hit = jnp.zeros_like(hit).at[perm].set(hit)
-    return t, hit, jnp.max(k)
+        t, hit = _unsort_blocks(perm, t, hit)
+    return t[:B], hit[:B], jnp.max(jnp.sum(kk, axis=-1))
 
 
 # Over-relaxation factor for the march (Keinert et al., "Enhanced Sphere
 # Tracing": step OMEGA*f instead of f while consecutive step spheres
 # overlap; on the first disjoint pair, roll back to the safe unrelaxed
-# step and drop that lane to plain tracing). 1.0 disables.
-OMEGA = 1.6
+# step and drop that lane to plain tracing). 1.0 disables. Swept on v5e
+# at inner=1: 1.2-1.4 within noise of each other, 1.6+ pays rollbacks.
+OMEGA = 1.3
 
 
 def _march_block(pt: PackedTree, origins, dirs, t_max, hit_eps, max_steps,
-                 step_cap=None, omega: float = OMEGA):
-    """Two-level while_loop march over one ray chunk; all f32.
+                 step_cap=None, omega: float = OMEGA, lo=None):
+    """Two-level while_loop march over one ray chunk; all f32. Returns
+    (t, hit, k) with k = i32[2]: [LOD-phase, full-phase] outer relocation
+    rounds (k[0] = 0 when ``lo`` is None).
 
     ``omega`` > 1 enables over-relaxed stepping: lanes advance by
     ``omega * (STEP_SCALE*v + MIN_STEP)`` while the step spheres of
@@ -221,6 +292,16 @@ def _march_block(pt: PackedTree, origins, dirs, t_max, hit_eps, max_steps,
     the safe unrelaxed position and disables relaxation for that lane, so
     no zero crossing can be skipped. Hits and final t carry exactly the
     plain-march guarantees (|f| < hit_eps at the reported position).
+
+    ``lo`` = (lo_grid, lo_rows) from render._lo_of enables the far-field
+    LOD phase: a first march on the 32-lane deg<=2 tables taking
+    CONSERVATIVE steps 0.95*(v_lo - err) (a lower bound of the full field
+    f, so no crossing of f can be skipped), handing each lane off to the
+    full-row march when its conservative value drops under 8*hit_eps.
+    p-refinement concentrates degree near the surface, so the far field
+    marches on exact (err = 0) deg<=2 rows at 2.7x cheaper gathers and ~5x
+    cheaper evals; hits are only ever declared by the full phase, so hit/t
+    guarantees are unchanged.
     """
     relax_on = omega > 1.0 and step_cap is None
     half = 0.5 * jnp.asarray(pt.root_sizes, jnp.float32)
@@ -238,6 +319,81 @@ def _march_block(pt: PackedTree, origins, dirs, t_max, hit_eps, max_steps,
     adv0 = jnp.zeros(t.shape, jnp.float32)
     vprev0 = jnp.zeros(t.shape, jnp.float32)
     max_outer = max_steps          # safe cap: one relocation per step worst case
+    k_lo = jnp.int32(0)
+
+    if lo is not None:
+        lo_grid, lo_rows = lo
+        handoff = jnp.float32(8.0) * jnp.float32(hit_eps)
+
+        def cond1(state):
+            active = state[1]
+            k = state[-1]
+            return jnp.logical_and(jnp.any(active), k < max_outer)
+
+        def outer1(state):
+            t, active, nsteps, relax, adv_p, v_p, need_full, k = state
+            unit = jnp.clip(accel.to_unit(
+                pt, origins + t[..., None] * dirs), -0.5, 0.5)
+            row = accel.locate_in(lo_grid, lo_rows, pt.grid_depth,
+                                  pt.extra_rounds, unit)
+
+            def inner(_, s):
+                t, active, nsteps, relax, adv_p, v_p, need_full = s
+                unit = jnp.clip(accel.to_unit(
+                    pt, origins + t[..., None] * dirs), -0.5, 0.5)
+                local = (unit - row[..., 2:5]) * row[..., 1:2]
+                in_leaf = jnp.all(jnp.abs(local) <= LEAF_TOL, axis=-1)
+                v_lo, err = _eval_lo(row, local)
+                v = v_lo - err                # lower bound on the full field
+                lane = active & in_leaf
+                if relax_on:
+                    # overlap radii must LOWER-bound |f|: relu(|v_lo| - err)
+                    # covers the sign-unknown current sample (v_p was a
+                    # stepping lane's conservative value, > 0 already)
+                    rad = jax.nn.relu(jnp.abs(v_lo) - err)
+                    over = (lane & relax & (adv_p > 0.0)
+                            & (v_p + rad < adv_p * jnp.float32(1.001)))
+                else:
+                    over = jnp.zeros_like(lane)
+                hand = lane & ~over & (v < handoff)
+                stepping = lane & ~hand
+                safe_adv = STEP_SCALE * v + MIN_STEP
+                adv = safe_adv
+                if relax_on:
+                    adv = jnp.where(relax, jnp.float32(omega) * adv, adv)
+                    adv = jnp.where(t + adv > t_end, safe_adv, adv)
+                    adv = jnp.where(over,
+                                    -adv_p + STEP_SCALE * v_p + MIN_STEP,
+                                    adv)
+                    relax = relax & ~over
+                if step_cap is not None:
+                    adv = jnp.minimum(adv, jnp.float32(step_cap))
+                t_new = jnp.where(stepping, t + adv, t)
+                escaped = stepping & ~over & (t + safe_adv > t_end)
+                nsteps = nsteps + stepping.astype(jnp.int32)
+                need_full = need_full | hand
+                active = active & ~hand & ~escaped & (nsteps < max_steps)
+                if relax_on:
+                    adv_p = jnp.where(stepping,
+                                      jnp.where(over, 0.0, adv), adv_p)
+                    v_p = jnp.where(stepping, v, v_p)
+                return (t_new, active, nsteps, relax, adv_p, v_p,
+                        need_full)
+
+            t, active, nsteps, relax, adv_p, v_p, need_full = (
+                jax.lax.fori_loop(
+                    0, INNER_STEPS, inner,
+                    (t, active, nsteps, relax, adv_p, v_p, need_full),
+                    unroll=True))
+            return t, active, nsteps, relax, adv_p, v_p, need_full, k + 1
+
+        (t, act1, nsteps0, _, _, _, need_full, k_lo) = jax.lax.while_loop(
+            cond1, outer1,
+            (t, active0, nsteps0, relax0, adv0, vprev0,
+             jnp.zeros_like(active0), jnp.int32(0)))
+        # lanes that handed off (or ran out of outer budget) continue on the
+        # full rows with fresh relaxation state
+        active0 = act1 | need_full
 
     def cond(state):
         active = state[2]
@@ -309,7 +465,7 @@ def _march_block(pt: PackedTree, origins, dirs, t_max, hit_eps, max_steps,
     t, hit, _, _, _, _, _, k = jax.lax.while_loop(
         cond, outer, (t, hit0, active0, nsteps0, relax0, adv0, vprev0,
                       jnp.int32(0)))
-    return t, hit, k
+    return t, hit, jnp.stack([k_lo, k])
 
 
 # --------------------------------------------------------------------------

@@ -157,6 +157,42 @@ def test_sorted_march_identical_results():
     assert bool(np.asarray(rs.hit).any())
 
 
+def test_lod_march_matches_full(sphere_tree):
+    # The far-field LOD phase takes CONSERVATIVE steps (v_lo - err <= f),
+    # so it can never skip a crossing the full march would find: hit masks
+    # agree exactly, and both reported t satisfy the same |f| < hit_eps
+    # stopping contract (t values differ by at most an eps-band).
+    from hpsdf_tpu import accel
+    from hpsdf_tpu.render import _lo_of, _march_block, camera_rays
+
+    # depth-capped build forces p-refinement above degree 2 so the 32-lane
+    # LOD tables engage (the shared fixture happens to converge at deg 3 /
+    # width 32, where _lo_of correctly disables itself)
+    cfg = hp.Config(target_error=1e-9, continuity=False, max_depth=4,
+                    max_degree=6)
+    tree = hp.build_octree(cfg, sphere_sdf(radius=RADIUS))
+    pt = accel.pack_tree(tree)
+    assert pt.deg_used > 2 and pt.width > accel.LO_W
+    lo = _lo_of(pt)
+    assert lo is not None
+    o, d = camera_rays((0.0, 0.0, -1.8), (0.0, 0.0, 0.0),
+                       width=48, height=48)
+    o = jnp.asarray(o, jnp.float32)
+    d = jnp.asarray(d, jnp.float32)
+    tm = jnp.float32(5.0)
+    t1, h1, kk = _march_block(pt, o, d, tm, 1e-4, 200, lo=lo)
+    t2, h2, _ = _march_block(pt, o, d, tm, 1e-4, 200)
+    h1, h2 = np.asarray(h1), np.asarray(h2)
+    assert int(kk[0]) > 0                    # the LOD phase actually ran
+    assert np.array_equal(h1, h2)
+    assert h1.any()
+    assert np.abs(np.asarray(t1) - np.asarray(t2))[h1].max() < 5e-4
+    # the LOD-phase hit positions satisfy the march's own stopping contract
+    p = np.asarray(o) + np.asarray(t1)[:, None] * np.asarray(d)
+    v = np.asarray(accel.values_at(pt, jnp.asarray(p[h1])))
+    assert np.abs(v).max() < 2e-4
+
+
 def test_overrelaxed_march_matches_plain():
     # Over-relaxation (OMEGA=1.6) changes the approach path but not the
     # hit guarantee: both marches stop with |f| < hit_eps, so on a
