@@ -142,28 +142,30 @@ def build_bvh(mesh: TriMesh) -> BVH:
         tri_rows = np.full((T2, TRI_W), BIG, np.float32)
         tri_rows[slots] = pack_triangles(mesh, full[slots])
 
-    # leaf AABBs (dummies get +BIG boxes that never pass pruning)
-    tris = tri_rows[:, :9].reshape(T2, 3, 3).astype(np.float64)
-    bmin, bmax = _tri.triangle_aabbs(tris)
-    bmin, bmax = np.asarray(bmin), np.asarray(bmax)
+    node_rows = native.bvh_node_rows(tri_rows)
+    if node_rows is None:
+        # leaf AABBs (dummies get +BIG boxes that never pass pruning)
+        tris = tri_rows[:, :9].reshape(T2, 3, 3).astype(np.float64)
+        bmin, bmax = _tri.triangle_aabbs(tris)
+        bmin, bmax = np.asarray(bmin), np.asarray(bmax)
 
-    # Level-by-level union up the heap. Heap leaves occupy ids T2..2*T2-1;
-    # every internal row stores BOTH children's AABBs so traversal computes
-    # child distances from one row gather.
-    node_rows = np.zeros((max(T2, 1), 16), np.float32)
-    cur_min, cur_max = bmin, bmax          # children of the deepest internal level
-    first = T2 // 2                        # first heap id of this internal level
-    while first >= 1:
-        l_min, l_max = cur_min[0::2], cur_max[0::2]
-        r_min, r_max = cur_min[1::2], cur_max[1::2]
-        idx = np.arange(first, 2 * first)
-        node_rows[idx, 0:3] = l_min
-        node_rows[idx, 3:6] = l_max
-        node_rows[idx, 6:9] = r_min
-        node_rows[idx, 9:12] = r_max
-        cur_min = np.minimum(l_min, r_min)
-        cur_max = np.maximum(l_max, r_max)
-        first //= 2
+        # Level-by-level union up the heap. Heap leaves occupy ids
+        # T2..2*T2-1; every internal row stores BOTH children's AABBs so
+        # traversal computes child distances from one row gather.
+        node_rows = np.zeros((max(T2, 1), 16), np.float32)
+        cur_min, cur_max = bmin, bmax      # children of the deepest level
+        first = T2 // 2                    # first heap id of this level
+        while first >= 1:
+            l_min, l_max = cur_min[0::2], cur_max[0::2]
+            r_min, r_max = cur_min[1::2], cur_max[1::2]
+            idx = np.arange(first, 2 * first)
+            node_rows[idx, 0:3] = l_min
+            node_rows[idx, 3:6] = l_max
+            node_rows[idx, 6:9] = r_min
+            node_rows[idx, 9:12] = r_max
+            cur_min = np.minimum(l_min, r_min)
+            cur_max = np.maximum(l_max, r_max)
+            first //= 2
 
     return BVH(node_rows=jnp.asarray(node_rows),
                tri_rows=jnp.asarray(tri_rows),

@@ -78,7 +78,7 @@ def _load() -> ctypes.CDLL | None:
         # stale .so from an older source revision: rebuild + reload once
         try:
             lib.hpsdf_version.restype = ctypes.c_char_p
-            stale = lib.hpsdf_version() != b"hpsdf_native 2"
+            stale = lib.hpsdf_version() != b"hpsdf_native 3"
         except AttributeError:
             stale = True
         if stale:
@@ -107,6 +107,10 @@ def _load() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
             ctypes.c_float, ctypes.POINTER(ctypes.c_float)]
+        lib.hpsdf_bvh_nodes.restype = None
+        lib.hpsdf_bvh_nodes.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float)]
         _lib = lib
         return _lib
 
@@ -209,3 +213,19 @@ def pack_tri_rows(verts, faces, face_n, vertex_pn, edge_pn,
         od.size, int(T2), float(big),
         rows.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
     return rows
+
+
+def bvh_node_rows(tri_rows: np.ndarray):
+    """Native heap-node-row build (mesh.bvh.build_bvh's leaf-AABB + level
+    union stages): tri_rows (T2, 32) f32 -> (T2, 16) f32 node rows. None if
+    the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    tr = np.ascontiguousarray(tri_rows, np.float32)
+    out = np.empty((tr.shape[0], 16), np.float32)
+    lib.hpsdf_bvh_nodes(
+        tr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        tr.shape[0],
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return out

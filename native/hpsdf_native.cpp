@@ -330,6 +330,53 @@ void hpsdf_pack_tris(const double* verts, const int32_t* faces,
   }
 }
 
-const char* hpsdf_version() { return "hpsdf_native 2"; }
+// Heap node rows from packed triangle rows (bvh.build_bvh's leaf-AABB +
+// level-union stages): rows (T2, 32) f32 as written by hpsdf_pack_tris
+// (vertices in lanes 0..8; dummy rows all `big`, whose degenerate boxes
+// never pass pruning). node_rows (T2, 16) f32 out: heap node i (1..T2-1)
+// gets [left_min left_max right_min right_max pad4]; row 0 unused. One
+// linear pass for the leaf boxes plus a geometric-series union sweep --
+// the numpy equivalent paid ~1.6 s of the 3.4 s build at 1.3M tris.
+void hpsdf_bvh_nodes(const float* rows, int64_t T2, float* node_rows) {
+  const int W = 32;
+  std::vector<float> mn((size_t)3 * T2), mx((size_t)3 * T2);
+  for (int64_t i = 0; i < T2; ++i) {
+    const float* r = rows + (int64_t)W * i;
+    for (int a = 0; a < 3; ++a) {
+      float lo = r[a], hi = r[a];
+      lo = r[3 + a] < lo ? r[3 + a] : lo;
+      hi = r[3 + a] > hi ? r[3 + a] : hi;
+      lo = r[6 + a] < lo ? r[6 + a] : lo;
+      hi = r[6 + a] > hi ? r[6 + a] : hi;
+      mn[3 * i + a] = lo;
+      mx[3 * i + a] = hi;
+    }
+  }
+  for (int64_t i = 0; i < 16 * T2; ++i) node_rows[i] = 0.0f;
+  std::vector<float> nmn, nmx;
+  for (int64_t first = T2 / 2; first >= 1; first /= 2) {
+    nmn.resize((size_t)3 * first);
+    nmx.resize((size_t)3 * first);
+    for (int64_t j = 0; j < first; ++j) {
+      float* out = node_rows + 16 * (first + j);
+      const float* lmin = mn.data() + 6 * j;
+      const float* lmax = mx.data() + 6 * j;
+      const float* rmin = lmin + 3;
+      const float* rmax = lmax + 3;
+      for (int a = 0; a < 3; ++a) {
+        out[a] = lmin[a];
+        out[3 + a] = lmax[a];
+        out[6 + a] = rmin[a];
+        out[9 + a] = rmax[a];
+        nmn[3 * j + a] = lmin[a] < rmin[a] ? lmin[a] : rmin[a];
+        nmx[3 * j + a] = lmax[a] > rmax[a] ? lmax[a] : rmax[a];
+      }
+    }
+    mn.swap(nmn);
+    mx.swap(nmx);
+  }
+}
+
+const char* hpsdf_version() { return "hpsdf_native 3"; }
 
 }  // extern "C"

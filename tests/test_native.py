@@ -80,3 +80,54 @@ def test_half_edges_reject_open_mesh():
     v, f = cube_mesh()
     with pytest.raises(NotWatertightError):
         native.half_edge_twins(np.asarray(f, np.int32)[:-1], len(v))
+
+
+def test_bvh_build_native_matches_numpy():
+    # The whole native fast path (kd_order + pack_tri_rows + bvh_node_rows)
+    # against the pure-numpy build: the ORDER may differ (nth_element vs
+    # stable argsort on ties), so compare behaviorally -- node rows must be
+    # exactly the heap unions of the packed leaf rows, and both BVHs must
+    # return identical signed distances.
+    import jax.numpy as jnp
+    from hpsdf_tpu.mesh import bvh as B
+    from hpsdf_tpu.mesh import sdf as msdf
+    from hpsdf_tpu.mesh import tri as _tri
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    v, f = icosphere_mesh(0.3, 3)
+    m = build_mesh(v, f)
+    bn = B.build_bvh(m)                     # native path
+    tri_rows = np.asarray(bn.tri_rows)
+    T2 = tri_rows.shape[0]
+
+    # node rows == numpy heap unions of the same packed leaves
+    tris = tri_rows[:, :9].reshape(T2, 3, 3).astype(np.float64)
+    bmin, bmax = map(np.asarray, _tri.triangle_aabbs(tris))
+    ref = np.zeros((T2, 16), np.float32)
+    cm, cx = bmin, bmax
+    first = T2 // 2
+    while first >= 1:
+        idx = np.arange(first, 2 * first)
+        ref[idx, 0:3] = cm[0::2]
+        ref[idx, 3:6] = cx[0::2]
+        ref[idx, 6:9] = cm[1::2]
+        ref[idx, 9:12] = cx[1::2]
+        cm = np.minimum(cm[0::2], cm[1::2])
+        cx = np.maximum(cx[0::2], cx[1::2])
+        first //= 2
+    np.testing.assert_array_equal(np.asarray(bn.node_rows), ref)
+
+    # identical signed distances vs the numpy-built BVH
+    import hpsdf_tpu.native as nat
+    lib, tried = nat._lib, nat._tried
+    try:
+        nat._lib, nat._tried = None, True
+        bp = B.build_bvh(m)                 # numpy path
+    finally:
+        nat._lib, nat._tried = lib, tried
+    pts = jnp.asarray(
+        np.random.default_rng(3).uniform(-0.5, 0.5, (256, 3)), jnp.float32)
+    dn = np.asarray(msdf.signed_distance(bn, pts))
+    dp = np.asarray(msdf.signed_distance(bp, pts))
+    np.testing.assert_allclose(dn, dp, atol=1e-6)
