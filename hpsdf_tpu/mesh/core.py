@@ -75,6 +75,16 @@ def build_mesh(vertices: np.ndarray, faces: np.ndarray) -> TriMesh:
         twin[a] = b
         twin[b] = a
 
+    # --- geometry phase: face normals + pseudo-normals ---------------------
+    # native single-pass loop when available (~4.3 s -> ~0.3 s at 1.3M
+    # faces on this 2-vCPU host); the numpy path below is the differential
+    # oracle (tests/test_native.py)
+    geom = _native.mesh_geom(v, fc, twin)
+    if geom is not None:
+        fn, vpn, epn = geom
+        return TriMesh(vertices=v, faces=fc, face_normals=fn, vertex_pn=vpn,
+                       edge_pn=epn, twin=twin.reshape(F, 3))
+
     # --- face normals -------------------------------------------------------
     e1 = v[fc[:, 1]] - v[fc[:, 0]]
     e2 = v[fc[:, 2]] - v[fc[:, 0]]

@@ -78,7 +78,7 @@ def _load() -> ctypes.CDLL | None:
         # stale .so from an older source revision: rebuild + reload once
         try:
             lib.hpsdf_version.restype = ctypes.c_char_p
-            stale = lib.hpsdf_version() != b"hpsdf_native 3"
+            stale = lib.hpsdf_version() != b"hpsdf_native 4"
         except AttributeError:
             stale = True
         if stale:
@@ -111,6 +111,12 @@ def _load() -> ctypes.CDLL | None:
         lib.hpsdf_bvh_nodes.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_float)]
+        lib.hpsdf_mesh_geom.restype = None
+        lib.hpsdf_mesh_geom.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double)]
         _lib = lib
         return _lib
 
@@ -213,6 +219,31 @@ def pack_tri_rows(verts, faces, face_n, vertex_pn, edge_pn,
         od.size, int(T2), float(big),
         rows.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
     return rows
+
+
+def mesh_geom(verts: np.ndarray, faces: np.ndarray, twin: np.ndarray):
+    """Native pseudo-normal precompute (mesh.core.build_mesh's geometry
+    phase): returns (face_normals (F,3), vertex_pn (V,3), edge_pn (F,3,3)),
+    all f64 unit vectors, or None if the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    v = np.ascontiguousarray(verts, np.float64)
+    fc = np.ascontiguousarray(faces, np.int32)
+    tw = np.ascontiguousarray(twin, np.int32).ravel()
+    F = fc.shape[0]
+    fn = np.empty((F, 3), np.float64)
+    vpn = np.empty((v.shape[0], 3), np.float64)
+    epn = np.empty((F, 3, 3), np.float64)
+    lib.hpsdf_mesh_geom(
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        fc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        tw.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        v.shape[0], F,
+        fn.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        vpn.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        epn.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    return fn, vpn, epn
 
 
 def bvh_node_rows(tri_rows: np.ndarray):

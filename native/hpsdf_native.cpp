@@ -13,6 +13,7 @@
 // differential-testable against each other.
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -377,6 +378,69 @@ void hpsdf_bvh_nodes(const float* rows, int64_t T2, float* node_rows) {
   }
 }
 
-const char* hpsdf_version() { return "hpsdf_native 3"; }
+// Mesh geometry (Baerentzen-Aanaes pseudo-normal precompute, the native
+// counterpart of mesh/core.py build_mesh's numpy phase; reference:
+// Source/Meshing/Mesh.cpp:200-242): face normals, angle-weighted vertex
+// pseudo-normals, and edge pseudo-normals in one pass over the faces.
+// verts (V,3) f64, faces (F,3) i32, twin (3F,) i32 (flat half-edge twins).
+// Outputs: fn (F,3), vpn (V,3), epn (F,3,3), all f64, unit (zero where
+// degenerate). The numpy path pays ~4.3 s at 1.3M faces on this host's 2
+// vCPUs; this loop runs it in a few hundred ms.
+void hpsdf_mesh_geom(const double* verts, const int32_t* faces,
+                     const int32_t* twin, int64_t V, int64_t F,
+                     double* fn, double* vpn, double* epn) {
+  auto norm3 = [](double* p) {
+    double l = std::sqrt(p[0] * p[0] + p[1] * p[1] + p[2] * p[2]);
+    if (l > 0.0) { p[0] /= l; p[1] /= l; p[2] /= l; }
+    else { p[0] = p[1] = p[2] = 0.0; }
+  };
+  for (int64_t i = 0; i < 3 * V; ++i) vpn[i] = 0.0;
+  for (int64_t f = 0; f < F; ++f) {
+    const int32_t* fc = faces + 3 * f;
+    const double* p0 = verts + 3 * (int64_t)fc[0];
+    const double* p1 = verts + 3 * (int64_t)fc[1];
+    const double* p2 = verts + 3 * (int64_t)fc[2];
+    double e1[3] = {p1[0] - p0[0], p1[1] - p0[1], p1[2] - p0[2]};
+    double e2[3] = {p2[0] - p0[0], p2[1] - p0[1], p2[2] - p0[2]};
+    double* n = fn + 3 * f;
+    n[0] = e1[1] * e2[2] - e1[2] * e2[1];
+    n[1] = e1[2] * e2[0] - e1[0] * e2[2];
+    n[2] = e1[0] * e2[1] - e1[1] * e2[0];
+    norm3(n);
+    // incident angle at each corner -> angle-weighted accumulation
+    const double* pts[3] = {p0, p1, p2};
+    for (int e = 0; e < 3; ++e) {
+      const double* a = pts[e];
+      const double* b = pts[(e + 1) % 3];
+      const double* c = pts[(e + 2) % 3];
+      double u1[3] = {b[0] - a[0], b[1] - a[1], b[2] - a[2]};
+      double u2[3] = {c[0] - a[0], c[1] - a[1], c[2] - a[2]};
+      double l1 = std::sqrt(u1[0] * u1[0] + u1[1] * u1[1] + u1[2] * u1[2]);
+      double l2 = std::sqrt(u2[0] * u2[0] + u2[1] * u2[1] + u2[2] * u2[2]);
+      double denom = l1 * l2;
+      double cosang = denom > 0.0
+          ? (u1[0] * u2[0] + u1[1] * u2[1] + u1[2] * u2[2]) / denom : 1.0;
+      cosang = cosang > 1.0 ? 1.0 : (cosang < -1.0 ? -1.0 : cosang);
+      double ang = std::acos(cosang);
+      double* acc = vpn + 3 * (int64_t)fc[e];
+      acc[0] += ang * n[0];
+      acc[1] += ang * n[1];
+      acc[2] += ang * n[2];
+    }
+  }
+  for (int64_t i = 0; i < V; ++i) norm3(vpn + 3 * i);
+  for (int64_t f = 0; f < F; ++f) {
+    for (int e = 0; e < 3; ++e) {
+      int64_t tf = twin[3 * f + e] / 3;
+      double* o = epn + 9 * f + 3 * e;
+      o[0] = fn[3 * f + 0] + fn[3 * tf + 0];
+      o[1] = fn[3 * f + 1] + fn[3 * tf + 1];
+      o[2] = fn[3 * f + 2] + fn[3 * tf + 2];
+      norm3(o);
+    }
+  }
+}
+
+const char* hpsdf_version() { return "hpsdf_native 4"; }
 
 }  // extern "C"

@@ -82,6 +82,28 @@ def test_half_edges_reject_open_mesh():
         native.half_edge_twins(np.asarray(f, np.int32)[:-1], len(v))
 
 
+def test_mesh_geom_native_matches_numpy():
+    # native single-pass pseudo-normal precompute vs the vectorized numpy
+    # oracle: same face normals, angle-weighted vertex pseudo-normals, and
+    # edge pseudo-normals to f64 rounding.
+    if not native.available():
+        pytest.skip("native library unavailable")
+    import hpsdf_tpu.native as nat
+
+    v, f = icosphere_mesh(0.3, 3)
+    m_nat = build_mesh(v, f)
+    lib, tried = nat._lib, nat._tried
+    try:
+        nat._lib, nat._tried = None, True
+        m_np = build_mesh(v, f)
+    finally:
+        nat._lib, nat._tried = lib, tried
+    for name in ("face_normals", "vertex_pn", "edge_pn", "twin"):
+        np.testing.assert_allclose(
+            getattr(m_nat, name), getattr(m_np, name), atol=1e-12,
+            err_msg=name)
+
+
 def test_bvh_build_native_matches_numpy():
     # The whole native fast path (kd_order + pack_tri_rows + bvh_node_rows)
     # against the pure-numpy build: the ORDER may differ (nth_element vs
