@@ -325,11 +325,19 @@ def run_suite():
     mesh_big = build_mesh(vb, fb)
     rec("mesh_build_halfedges_1p3m", time.perf_counter() - t0, "s", "cpu",
         native=native.available())
+    # host-pinned construction: the row measures BVH::Create-equivalent work
+    # (the reference is CPU-only); shipping the ~400 MB row tables to the
+    # accelerator is an untimed explicit device_put below -- through the
+    # axon debug tunnel that copy alone costs ~19 s and would swamp the row
+    cpu0 = jax.devices("cpu")[0]
     t0 = time.perf_counter()
-    bvh_big = build_bvh(mesh_big)
-    jax.block_until_ready(bvh_big.tri_rows)
+    with jax.default_device(cpu0):
+        bvh_big = build_bvh(mesh_big)
+        jax.block_until_ready(bvh_big.tri_rows)
     rec("bvh_build_1p3m", time.perf_counter() - t0, "s", "cpu",
-        tris=mesh_big.n_faces, layout="kd-order + perfect heap")
+        tris=mesh_big.n_faces, layout="kd-order + perfect heap",
+        note="host construction; accelerator upload excluded (explicit "
+             "device_put, tunnel-dominated here)")
 
     bvh_big = jax.tree.map(lambda x: jax.device_put(np.asarray(x), dev),
                            bvh_big)
@@ -363,11 +371,25 @@ def run_suite():
         path="two-level kd-cluster prune + exact refine (fixed-K)")
 
     # --- 100 brute-force queries at 1.3M tris (MeshingBenchmarks.cpp:93-111
-    # runs 100 O(T) scans; the Pallas tile kernel IS that scan, batched) ---
+    # runs 100 O(T) scans; the Pallas tile kernel IS that scan, batched).
+    # tri_rows MUST travel as a jit argument: closed over, the 268 MB array
+    # becomes a compile-request constant (tunnel rejects it, HTTP 413) -----
     qp100 = qp[:128]
-    dt = _amortized(
-        lambda p: msdf.signed_distance_tiles(bvh_big.tri_rows, p),
-        (qp100,), 3)
+
+    @_ft.partial(jax.jit, static_argnames=("reps",))
+    def brute_loop(p, tr, reps):
+        def body(i, acc):
+            return acc + jnp.sum(msdf.signed_distance_tiles(
+                tr, p + i.astype(jnp.float32) * 1e-7))
+        return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
+
+    float(brute_loop(qp100, bvh_big.tri_rows, reps=3))
+    dt = np.inf
+    for trial in range(3):
+        q2 = qp100 + np.float32((trial + 1) * 1e-7)
+        t0 = time.perf_counter()
+        float(brute_loop(q2, bvh_big.tri_rows, reps=3))
+        dt = min(dt, (time.perf_counter() - t0) / 3)
     rec("brute_signed_distance_100_1p3m", qp100.shape[0] / dt,
         "queries/s", accel_name, tris=mesh_big.n_faces, kernel="pallas",
         note="O(T) scan per query, reference brute-force parity row")

@@ -464,7 +464,12 @@ def mesh_sdf(mesh: TriMesh, bvh: BVH | None = None,
     if bvh is None:
         bvh = build_bvh(mesh)
     if method == "auto":
-        method = "tiles" if bvh.n_leaves <= AUTO_TILES_MAX else "hybrid"
+        if jax.devices()[0].platform == "cpu":
+            # no Pallas backend on host: tiles would run in interpret mode
+            # (orders of magnitude slower); the hybrid prune is plain XLA
+            method = "hybrid"
+        else:
+            method = "tiles" if bvh.n_leaves <= AUTO_TILES_MAX else "hybrid"
     if method == "hybrid":
         return hybrid_sdf_fn(bvh)
     if method == "tiles":
