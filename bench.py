@@ -108,11 +108,21 @@ def time_trace(packed, device, width, height, reps):
     return (width * height) / dt / 1e6, n_hit
 
 
-# Measured cost of the TPU's dynamic-gather path for the 96-lane packed
-# rows (fixed-round decomposition experiment, v5e: 9.9 ns per row gather
-# = 384 B / 9.9 ns). Dynamic row gathers are row-count-bound far below
-# HBM streaming peak -- this is the march's REAL memory ceiling.
-GATHER_PATH_GBPS = 38.8
+# Measured cost of the TPU's dynamic-gather path (fixed-round decomposition
+# experiments, v5e): row gathers are ROW-COUNT-bound at ~3.7 ns/row for
+# widths 8..32 f32 lanes, rising to ~9.9 ns at 96 lanes. Far below HBM
+# streaming peak -- this per-row cost is the march's REAL memory ceiling,
+# and it depends on the packed row width (deg<=2 trees pack to 24 lanes;
+# deg-6 trees to 96).
+GATHER_NS_NARROW = 3.7     # per row, width <= 32 lanes
+GATHER_NS_96 = 9.9         # per row, width 96 lanes
+
+
+def _gather_ns_per_row(width_lanes: int) -> float:
+    if width_lanes <= 32:
+        return GATHER_NS_NARROW
+    return (GATHER_NS_NARROW
+            + (GATHER_NS_96 - GATHER_NS_NARROW) * (width_lanes - 32) / 64.0)
 
 
 def trace_roofline(packed, device, width, height, secs_per_frame):
@@ -147,19 +157,26 @@ def trace_roofline(packed, device, width, height, secs_per_frame):
     kk = np.asarray(rounds(o, d))                  # (chunks, 2) [lod, full]
     k = kk.sum(axis=-1)
     rows_per_round = 1 + packed.extra_rounds       # grid row + descent rows
-    gbytes = (float(kk[:, 0].sum()) * LO_W + float(kk[:, 1].sum())
-              * packed.width) * MARCH_CHUNK * rows_per_round * 4 / 1e9
+    lod_rows = float(kk[:, 0].sum()) * MARCH_CHUNK * rows_per_round
+    full_rows = float(kk[:, 1].sum()) * MARCH_CHUNK * rows_per_round
+    gbytes = (lod_rows * LO_W + full_rows * packed.width) * 4 / 1e9
     achieved = gbytes / secs_per_frame
+    # width-aware gather-path ceiling: time the measured per-row costs say
+    # these gathers MUST take; fraction of the frame explained by gathers
+    gather_floor_s = (lod_rows * _gather_ns_per_row(LO_W)
+                      + full_rows * _gather_ns_per_row(packed.width)) * 1e-9
+    path_gbps = gbytes / gather_floor_s if gather_floor_s else 0.0
     return dict(
         outer_rounds_mean=round(float(k.mean()), 1),
         lod_rounds_fraction=round(float(kk[:, 0].sum()) / max(k.sum(), 1),
                                   3),
+        row_width_lanes=packed.width,
         gather_gbytes_per_frame=round(gbytes, 3),
         achieved_gather_gbps=round(achieved, 1),
         hbm_peak_gbps=HBM_PEAK_GBPS,
         roofline_fraction_hbm=round(achieved / HBM_PEAK_GBPS, 4),
-        gather_path_gbps_measured=GATHER_PATH_GBPS,
-        gather_path_fraction=round(achieved / GATHER_PATH_GBPS, 4),
+        gather_path_gbps=round(path_gbps, 1),
+        gather_path_fraction=round(achieved / max(path_gbps, 1e-9), 4),
     )
 
 
