@@ -54,13 +54,18 @@ MAX_STEPS = 200          # per-ray step cap        (:725)
 HIT_EPS = 1e-4           # |v| < eps  => surface   (:733)
 STEP_SCALE = 0.95        # 5% SDF-error safety     (:739)
 MIN_STEP = 1e-4          # minimum advance         (:739)
-INNER_STEPS = 1          # gather-free steps per leaf relocation. Round-3
-                         # v5e sweep: with over-relaxed steps lanes leave
-                         # their leaf almost every step, so batching evals
-                         # between relocations only wastes frozen-lane work
-                         # (inner=1: 12.3 Mrays/s vs 10.6 at inner=4); the
-                         # two-level structure is kept for low-omega and
-                         # step-capped marches where lanes dwell in leaves
+INNER_STEPS = 1          # gather-free steps per leaf relocation, for SHALLOW
+                         # low-degree trees (width <= 32 lanes, no descent
+                         # below the grid): over-relaxed lanes leave those
+                         # big leaves almost every step, so extra inner evals
+                         # only waste frozen-lane work (v5e sweep: inner=1
+                         # 12.3 Mrays/s vs 10.6 at inner=4)
+INNER_STEPS_DEEP = 3     # and for DEEP/high-degree trees (reference-default
+                         # builds): near-surface leaves are tiny but so are
+                         # the steps, lanes dwell several steps per leaf, and
+                         # each avoided relocation saves 2+ wide-row gathers
+                         # (v5e refdefault sweep: 2.0 / 4.2 / 4.5 Mrays/s at
+                         # inner 1/2/3, flat beyond)
 LEAF_TOL = 1.0 + 1e-5    # |local| bound counting as "still in this leaf"
 
 
@@ -149,6 +154,14 @@ def _lo_of(pt: PackedTree):
     if pt.deg_used <= 2 or pt.width <= accel.LO_W:
         return None
     return accel.lo_pack(pt.grid), accel.lo_pack(pt.rows)
+
+
+def _inner_steps_for(pt: PackedTree) -> int:
+    """Gather-free steps per relocation, chosen from the tree's (static)
+    read-path shape: see INNER_STEPS / INNER_STEPS_DEEP."""
+    if pt.width <= accel.LO_W and pt.extra_rounds == 0:
+        return INNER_STEPS
+    return INNER_STEPS_DEEP
 
 
 # Rays per independently-terminating chunk. One monolithic while_loop runs
@@ -304,6 +317,7 @@ def _march_block(pt: PackedTree, origins, dirs, t_max, hit_eps, max_steps,
     guarantees are unchanged.
     """
     relax_on = omega > 1.0 and step_cap is None
+    inner_steps = _inner_steps_for(pt)
     half = 0.5 * jnp.asarray(pt.root_sizes, jnp.float32)
     rc = jnp.asarray(pt.root_centre, jnp.float32)
     t_near, t_far, hits_box = intersect_aabb(origins, dirs, rc - half,
@@ -382,7 +396,7 @@ def _march_block(pt: PackedTree, origins, dirs, t_max, hit_eps, max_steps,
 
             t, active, nsteps, relax, adv_p, v_p, need_full = (
                 jax.lax.fori_loop(
-                    0, INNER_STEPS, inner,
+                    0, inner_steps, inner,
                     (t, active, nsteps, relax, adv_p, v_p, need_full),
                     unroll=True))
             return t, active, nsteps, relax, adv_p, v_p, need_full, k + 1
@@ -458,7 +472,7 @@ def _march_block(pt: PackedTree, origins, dirs, t_max, hit_eps, max_steps,
             return t_new, hit | now_hit, active, nsteps, relax, adv_p, v_p
 
         t, hit, active, nsteps, relax, adv_p, v_p = jax.lax.fori_loop(
-            0, INNER_STEPS, inner,
+            0, inner_steps, inner,
             (t, hit, active, nsteps, relax, adv_p, v_p), unroll=True)
         return t, hit, active, nsteps, relax, adv_p, v_p, k + 1
 
