@@ -291,6 +291,14 @@ def _march(pt: PackedTree, origins, dirs, t_max, hit_eps, max_steps,
 # at inner=1: 1.2-1.4 within noise of each other, 1.6+ pays rollbacks.
 OMEGA = 1.3
 
+# LOD->full handoff threshold, in hit_eps units: a lane leaves the far-field
+# (32-lane deg<=2) phase when its conservative value v_lo - err drops below
+# LOD_HANDOFF * hit_eps. Swept on the reference-default tree (v5e, 1024^2):
+# 4/8/32/128 within noise (4.4-4.5 Mrays/s) -- the march is not sensitive
+# because near-surface leaves carry large truncation bounds err, which force
+# the handoff regardless of the threshold.
+LOD_HANDOFF = 8.0
+
 
 def _march_block(pt: PackedTree, origins, dirs, t_max, hit_eps, max_steps,
                  step_cap=None, omega: float = OMEGA, lo=None):
@@ -337,7 +345,7 @@ def _march_block(pt: PackedTree, origins, dirs, t_max, hit_eps, max_steps,
 
     if lo is not None:
         lo_grid, lo_rows = lo
-        handoff = jnp.float32(8.0) * jnp.float32(hit_eps)
+        handoff = jnp.float32(LOD_HANDOFF) * jnp.float32(hit_eps)
 
         def cond1(state):
             active = state[1]
