@@ -108,21 +108,32 @@ def time_trace(packed, device, width, height, reps):
     return (width * height) / dt / 1e6, n_hit
 
 
-# Measured cost of the TPU's dynamic-gather path (fixed-round decomposition
-# experiments, v5e): row gathers are ROW-COUNT-bound at ~3.7 ns/row for
-# widths 8..32 f32 lanes, rising to ~9.9 ns at 96 lanes. Far below HBM
-# streaming peak -- this per-row cost is the march's REAL memory ceiling,
-# and it depends on the packed row width (deg<=2 trees pack to 24 lanes;
-# deg-6 trees to 96).
-GATHER_NS_NARROW = 3.7     # per row, width <= 32 lanes
-GATHER_NS_96 = 9.9         # per row, width 96 lanes
+# Measured cost of the TPU's dynamic-gather path (experiments/
+# gather_probe2.py, v5e, round 4): row gathers are ROW-COUNT-bound and
+# essentially FLAT at ~3.5 ns/row for widths 8..128 f32 lanes (random,
+# coherent and sorted indices within ~10% of each other), rising to ~5 ns
+# at 160-256 lanes and ~7.1 ns at 464-512. Far below HBM streaming peak --
+# this per-row cost is the march's REAL memory ceiling. The round-3 model
+# (3.7 ns <= 32 lanes, 9.9 ns @ 96) over-charged mid widths; these are the
+# re-measured points, linearly interpolated and CLAMPED past the last
+# measurement (callers see gather_model='extrapolated' beyond 512 lanes).
+_GATHER_NS_POINTS = ((8, 3.5), (128, 3.6), (160, 5.0), (256, 5.3),
+                     (464, 7.1), (512, 7.1))
 
 
 def _gather_ns_per_row(width_lanes: int) -> float:
-    if width_lanes <= 32:
-        return GATHER_NS_NARROW
-    return (GATHER_NS_NARROW
-            + (GATHER_NS_96 - GATHER_NS_NARROW) * (width_lanes - 32) / 64.0)
+    pts = _GATHER_NS_POINTS
+    if width_lanes <= pts[0][0]:
+        return pts[0][1]
+    for (w0, n0), (w1, n1) in zip(pts, pts[1:]):
+        if width_lanes <= w1:
+            return n0 + (n1 - n0) * (width_lanes - w0) / (w1 - w0)
+    return pts[-1][1]          # clamp: no extrapolation past measurements
+
+
+def _gather_model_label(width_lanes: int) -> str:
+    return ("measured" if width_lanes <= _GATHER_NS_POINTS[-1][0]
+            else "extrapolated")
 
 
 def trace_roofline(packed, device, width, height, secs_per_frame):
@@ -167,6 +178,7 @@ def trace_roofline(packed, device, width, height, secs_per_frame):
                       + full_rows * _gather_ns_per_row(packed.width)) * 1e-9
     path_gbps = gbytes / gather_floor_s if gather_floor_s else 0.0
     return dict(
+        gather_model=_gather_model_label(packed.width),
         outer_rounds_mean=round(float(k.mean()), 1),
         lod_rounds_fraction=round(float(kk[:, 0].sum()) / max(k.sum(), 1),
                                   3),
@@ -255,12 +267,17 @@ def run_suite():
     # --- sphere trace on the reference-default tree (high degree: wide
     # coefficient rows; the march's LOD phase covers the far field on
     # 32-lane deg<=2 tables, see accel.lo_pack) ----------------------------
+    from hpsdf_tpu.render import INNER_STEPS_LO, _inner_steps_for
     packed_r = jax.tree.map(lambda x: jax.device_put(np.asarray(x), dev),
                             accel.pack_tree(tree_r))
     mrays_r, _ = time_trace(packed_r, dev, 1024, 1024, 5)
     rec("sphere_trace_refdefault_1024sq", mrays_r, "Mrays/s", accel_name,
         deg_used=tree_r.deg_used, depth_used=tree_r.depth_used,
-        row_width=packed_r.width)
+        row_width=packed_r.width, grid_depth=packed_r.grid_depth,
+        inner_steps=_inner_steps_for(packed_r),
+        inner_steps_lo=INNER_STEPS_LO,
+        note="march with certified leaf-exit jumps + depth-6 dense grid "
+             "(round 4); see render._march_block")
 
     # --- fit + continuity (HPBenchmarks.cpp:51-75) ------------------------
     cfgc = _fit_cfg(target_error=1e-6, continuity=True,
@@ -476,8 +493,11 @@ def run_inverse_1080p():
 
 
 def main():
+    from hpsdf_tpu.build import program_counts
+
     # warm the fit programs, then time a jittered warm build (see protocol)
     _, cold_s = build_tree(radius=0.3)
+    progs = program_counts()
     tree, fit_s = build_tree(radius=0.301)
     packed = accel.pack_tree(tree)
 
@@ -505,6 +525,8 @@ def main():
             "hit_fraction": round(hit_frac, 4),
             "fit_time_s": round(fit_s, 3),
             "fit_time_cold_s": round(cold_s, 3),
+            "fit_programs_compiled": progs["programs"],
+            "fit_programs_speculative": progs["speculative"],
             "fit_device": str(accel_dev.platform),
             "fit_dtype": "compensated" if accel_dev.platform != "cpu"
                          else "float64",

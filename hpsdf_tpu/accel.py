@@ -54,9 +54,14 @@ import jax.numpy as jnp
 from . import basis
 from .tree import Octree
 
-# Dense grid capped at 32^3 cells; full packed rows at deg 6 (W=96) are
-# 12 MiB -- cheap in HBM, one-time upload.
+# Dense grid depth cap. Row gathers measured FLAT at ~3.5 ns/row for widths
+# 8..128 lanes on v5e -- but only while the TABLE is small: a 67 MB
+# (262144 x 64) table gathers at 13-17 ns/row, 4x worse (experiments/
+# gather_probe2.py + table-size probe, round 4). The binding constraint is
+# table bytes, not row width, so the grid is capped at 32^3 cells and the
+# byte budget guards wide-row trees.
 GRID_DEPTH_CAP = 5
+GRID_BYTE_BUDGET = 20 << 20
 COEFF_LANE = 8
 
 
@@ -118,10 +123,21 @@ def _grid_sources(tree: Octree, gd: int) -> np.ndarray:
     return cur
 
 
+def _default_grid_depth(tree: Octree) -> int:
+    """Deepest grid within GRID_DEPTH_CAP whose row table fits the byte
+    budget (wider rows at deg >= 9 pull the cap down one level)."""
+    cw = tree.coeff_width
+    W = -(-(COEFF_LANE + cw) // 8) * 8
+    gd = min(tree.depth_used, GRID_DEPTH_CAP)
+    while gd > 0 and (8 ** gd) * W * 4 > GRID_BYTE_BUDGET:
+        gd -= 1
+    return gd
+
+
 def pack_tree(tree: Octree, grid_depth: int | None = None) -> PackedTree:
     """Derive the gather-optimized read layout from a fitted Octree."""
     if grid_depth is None:
-        grid_depth = min(tree.depth_used, GRID_DEPTH_CAP)
+        grid_depth = _default_grid_depth(tree)
     rows = _pack_rows(tree)
     grid = rows[_grid_sources(tree, grid_depth)]
     return PackedTree(
@@ -147,7 +163,7 @@ class PackSupport:
 
 def pack_support(tree: Octree, grid_depth: int | None = None) -> PackSupport:
     if grid_depth is None:
-        grid_depth = min(tree.depth_used, GRID_DEPTH_CAP)
+        grid_depth = _default_grid_depth(tree)
     rows = _pack_rows(tree)
     norms = basis.coeff_norms(tree.deg_used)
     dep_i = np.asarray(tree.depth, np.int64)

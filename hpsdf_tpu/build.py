@@ -34,6 +34,7 @@ from __future__ import annotations
 import collections
 import functools
 import math
+import threading
 import time
 from typing import Callable
 
@@ -92,23 +93,22 @@ def _f_captures(F):
     return getattr(F, "captures", jnp.zeros(0, jnp.float32))
 
 
-def _bucket(n: int, lo: int = 64) -> int:
-    """Round batch sizes up to powers of two to bound recompilation."""
-    return max(lo, 1 << (n - 1).bit_length())
-
-
 # --------------------------------------------------------------------------
 # Batched polynomial fitting (hot loop #1)
 # --------------------------------------------------------------------------
 
 def _fit_impl(nw: NearnessWeighting, nw_strength: float, degree: int,
-              prev_width: int, Fv, depths, prev_coeffs):
+              prev_width: int, Fv, depths, cn_sel, prev_coeffs):
     """Fit degree-``degree`` bases to a batch of cells.
 
     Fv     : (M, Q, Q, Q) F sampled at each cell's tensor-product
              Gauss-Legendre grid (produced host-side by _FitCache so the
              user SDF compiles once per build, not once per batch shape)
     depths : (M,)  int32
+    cn_sel : (M, C) per-cell coeff_norms row, gathered HOST-side (depths
+      are host values; keeping the table out of the traced program keeps
+      the program free of device-resident constants -- see the numpy-
+      constants note below)
     prev_coeffs: (M, prev_width) coeffs to retain verbatim (p-refinement
       reuse, Octree.cpp:1011-1012,1025), or (M, 0).
 
@@ -118,16 +118,18 @@ def _fit_impl(nw: NearnessWeighting, nw_strength: float, degree: int,
     half = jnp.exp2(-(depths.astype(Fv.dtype) + 1.0))             # (M,)
 
     # Separable projection: A[p, q] = w_q L_p(x_q); three contractions.
-    A = jnp.asarray(basis.quadrature_matrix(degree), Fv.dtype)    # (P+1, Q)
+    # Constants stay NUMPY: a jnp constant closed over by the traced
+    # program forces a device->host fetch during lowering, which deadlocks
+    # when speculative background compiles lower concurrently (round 4).
+    A = np.asarray(basis.quadrature_matrix(degree), Fv.dtype)     # (P+1, Q)
     T = jnp.einsum("mijk,pi->mpjk", Fv, A)
     T = jnp.einsum("mpjk,qj->mpqk", T, A)
     T = jnp.einsum("mpqk,rk->mpqr", T, A)
 
     idx = basis.basis_indices(degree)                             # (C, 3)
     raw = T[:, idx[:, 0], idx[:, 1], idx[:, 2]]                   # (M, C)
-    cn = jnp.asarray(basis.coeff_norms(degree), Fv.dtype)         # (D+1, C)
     vol = half ** 3                                               # aabbScalesMult
-    coeffs = raw * cn[depths] * vol[:, None]
+    coeffs = raw * cn_sel * vol[:, None]
 
     if prev_width:
         # p-refinement keeps previously fitted coefficients bit-exact
@@ -136,7 +138,7 @@ def _fit_impl(nw: NearnessWeighting, nw_strength: float, degree: int,
 
     # eq (6): error = sum of squared top-total-degree coefficients.
     top = idx.sum(axis=1) == degree
-    err = jnp.sum(jnp.where(jnp.asarray(top)[None, :], coeffs**2, 0.0), axis=1)
+    err = jnp.sum(jnp.where(top[None, :], coeffs**2, 0.0), axis=1)
 
     if nw != NearnessWeighting.NONE:
         # Exact cell mean of the approximation: only the constant basis
@@ -168,7 +170,8 @@ def _coeff_norms_df(degree: int):
 
 
 def _fit_impl_df64(nw: NearnessWeighting, nw_strength: float, degree: int,
-                   prev_width: int, Fhi, Flo, depths, prev_hi, prev_lo):
+                   prev_width: int, Fhi, Flo, depths, cnh_sel, cnl_sel,
+                   prev_hi, prev_lo):
     """Compensated (double-float) variant of _fit_impl: the same separable
     Gauss-Legendre projection, accumulated at ~4e-15 relative precision in
     native f32 device ops (df64.py) instead of f64. This is what makes the
@@ -181,8 +184,7 @@ def _fit_impl_df64(nw: NearnessWeighting, nw_strength: float, degree: int,
     relative precision (~1e-7) on it is ample for threshold decisions.
     """
     f32 = jnp.float32
-    Ah, Al = _quad_matrix_df(degree)
-    Ah, Al = jnp.asarray(Ah), jnp.asarray(Al)
+    Ah, Al = _quad_matrix_df(degree)          # numpy pair (see _fit_impl)
     Th, Tl = Fhi, Flo
     for ax in (1, 2, 3):
         Th, Tl = df64.contract_axis(Th, Tl, ax, Ah, Al)
@@ -190,9 +192,7 @@ def _fit_impl_df64(nw: NearnessWeighting, nw_strength: float, degree: int,
     idx = basis.basis_indices(degree)                            # (C, 3)
     raw = (Th[:, idx[:, 0], idx[:, 1], idx[:, 2]],
            Tl[:, idx[:, 0], idx[:, 1], idx[:, 2]])               # (M, C)
-    cnh, cnl = _coeff_norms_df(degree)                           # (D+1, C)
-    cn = (jnp.asarray(cnh)[depths], jnp.asarray(cnl)[depths])
-    c = df64.mul(raw, cn)
+    c = df64.mul(raw, (cnh_sel, cnl_sel))
     half = jnp.exp2(-(depths.astype(f32) + 1.0))                 # exact pow2
     c = df64.mul_pow2(c, (half ** 3)[:, None])                   # aabbScalesMult
 
@@ -202,7 +202,7 @@ def _fit_impl_df64(nw: NearnessWeighting, nw_strength: float, degree: int,
         c = (jnp.concatenate([prev_hi, c[0][:, prev_width:]], axis=1),
              jnp.concatenate([prev_lo, c[1][:, prev_width:]], axis=1))
 
-    top = jnp.asarray(idx.sum(axis=1) == degree)
+    top = idx.sum(axis=1) == degree
     err = jnp.sum(jnp.where(top[None, :], c[0] * c[0], f32(0.0)), axis=1)
 
     if nw != NearnessWeighting.NONE:
@@ -262,6 +262,50 @@ _FUSED_CACHE = _LRU()
 # present the SAME F object to the fused-program cache above.
 _WRAP_CACHE = _LRU()
 
+# -- speculative background compilation (cold-start) ------------------------
+# A genuinely cold fit program costs ~6-15 s of (server-side) XLA compile
+# on the TPU tunnel, the server SERIALIZES compile requests, and identical
+# HLO recompiled later pays full price again (measured round 4: fresh 6.3 s,
+# recompile of the same program 14.0 s, two parallel fresh = serial sum).
+# So the win is NOT compile concurrency -- it is (a) keeping the program
+# count small (fixed block shapes below) and (b) OVERLAPPING upcoming
+# compiles with the build's non-compile work (F evaluation, dispatches,
+# host topology). _FitCache.speculate() AOT-compiles the predictable next
+# shapes in daemon threads and STORES the compiled executable for reuse;
+# _get() waits on an in-flight speculation instead of compiling twice.
+_SPEC_LOCK = threading.Lock()
+_SPEC_INFLIGHT: dict = {}                 # key -> threading.Event
+_SPEC_SEM = threading.Semaphore(1)        # serialize speculative compiles
+_COUNTS = {"programs": 0, "speculative": 0}
+
+
+class _CompiledProgram:
+    """An AOT-compiled fit executable with a lazy jit fallback.
+
+    Speculative compiles lower at the exact dummy avals the build later
+    passes; if an aval ever mismatches (dtype drift, sharding), the first
+    failing call falls back to a fresh jit of the same traced function."""
+
+    def __init__(self, compiled, make_jit):
+        self._compiled = compiled
+        self._make_jit = make_jit
+        self._fallback = None
+
+    def __call__(self, *args):
+        if self._fallback is None:
+            try:
+                return self._compiled(*args)
+            except Exception:
+                self._fallback = self._make_jit()
+        return self._fallback(*args)
+
+
+def program_counts() -> dict:
+    """Copy of the process-wide fit-program counters: ``programs`` = fused
+    programs traced on demand, ``speculative`` = background pre-compiles."""
+    with _SPEC_LOCK:
+        return dict(_COUNTS)
+
 
 class _FitCache:
     """Per-build view of the fused-fit program cache, keyed by
@@ -301,16 +345,27 @@ class _FitCache:
         self.block_pts = (1 << 22 if jax.default_backend() == "tpu"
                           else 1 << 21)
 
+    def _key(self, degree: int, pw: int, cc: int):
+        return (_f_key(self._F), self._cfg.fit_dtype,
+                self._cfg.nearness_weighting,
+                self._cfg.nearness_strength, degree, pw, cc,
+                None if self._mesh is None
+                else tuple(d.id for d in self._mesh.devices.flat))
+
     def _get(self, degree: int, pw: int, cc: int):
-        key = (_f_key(self._F), self._cfg.fit_dtype,
-               self._cfg.nearness_weighting,
-               self._cfg.nearness_strength, degree, pw, cc,
-               None if self._mesh is None
-               else tuple(d.id for d in self._mesh.devices.flat))
+        key = self._key(degree, pw, cc)
         keyed = getattr(self._F, "key", None) is not None
         hit = _FUSED_CACHE.get(key)
         if hit is not None and (keyed or hit[0] is self._F):
             return hit[1]
+        # a speculative pre-compile of this shape may be in flight: wait for
+        # it and reuse its executable rather than compiling a second time
+        ev = _SPEC_INFLIGHT.get(key)
+        if ev is not None:
+            ev.wait(timeout=600)
+            hit = _FUSED_CACHE.get(key)
+            if hit is not None and (keyed or hit[0] is self._F):
+                return hit[1]
         fn = self._fused(degree, pw)
         if self._mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -318,12 +373,110 @@ class _FitCache:
             sh = NamedSharding(self._mesh, P("fitcells"))
             caps_sh = jax.tree.map(lambda _: rep, self._F.captures) \
                 if isinstance(self._F, CapturedSDF) else rep
-            n_in = 4 if self._comp else 3
+            n_in = 6 if self._comp else 4
             fn = jax.jit(fn.__wrapped__,
                          in_shardings=(caps_sh,) + (sh,) * n_in,
                          out_shardings=sh)
         _FUSED_CACHE[key] = (self._F, fn)
+        with _SPEC_LOCK:
+            _COUNTS["programs"] += 1
         return fn
+
+    # -- block sizing -------------------------------------------------------
+    # One canonical block per degree (the point-budget cap), plus a short
+    # ladder of small blocks so late small-frontier rounds do not pay the
+    # full block's padded F evaluations (mesh/CSG Fs are expensive per
+    # point). A SMALL, PREDICTABLE shape set is what keeps cold builds
+    # fast: every distinct (degree, prev_width, cc) is a ~40 s compile.
+    _SMALL_BLOCKS = (64, 256, 1024)
+
+    def _block_cc(self, degree: int) -> int:
+        Q = basis.fit_rule_size(degree)
+        cc = max(256, self.block_pts // Q ** 3)
+        return -(-cc // self._ndev) * self._ndev
+
+    def _cc_for(self, M: int, degree: int) -> int:
+        block = self._block_cc(degree)
+        for b in self._SMALL_BLOCKS:
+            if b < block and M <= b:
+                return -(-b // self._ndev) * self._ndev
+        return block
+
+    # -- speculative pre-compilation ---------------------------------------
+    def speculate(self, shapes) -> None:
+        """Pre-compile fused programs for ``shapes`` = [(degree, pw, cc)]
+        in background daemon threads (backend-cache side effect only; see
+        the _SPEC_LOCK comment). No-op for sharded builds and for shapes
+        already compiled or in flight."""
+        if self._mesh is not None:
+            return
+        for degree, pw, cc in shapes:
+            key = self._key(degree, pw, cc)
+            with _SPEC_LOCK:
+                if _FUSED_CACHE.get(key) is not None or key in _SPEC_INFLIGHT:
+                    continue
+                ev = threading.Event()
+                _SPEC_INFLIGHT[key] = ev
+                _COUNTS["speculative"] += 1
+            threading.Thread(
+                target=self._spec_compile, args=(degree, pw, cc, key, ev),
+                daemon=True).start()
+
+    def _spec_compile(self, degree, pw, cc, key, ev):
+        try:
+            with _SPEC_SEM:
+                if _FUSED_CACHE.get(key) is not None:
+                    return
+                fn = self._fused(degree, pw)
+                caps = _f_captures(self._F)
+                C = consts.coeff_count(degree)
+                if self._comp:
+                    args = (jnp.zeros((cc, 3), jnp.float32),
+                            jnp.zeros((cc,), jnp.int32),
+                            jnp.zeros((cc, C), jnp.float32),
+                            jnp.zeros((cc, C), jnp.float32),
+                            jnp.zeros((cc, pw), jnp.float32),
+                            jnp.zeros((cc, pw), jnp.float32))
+                else:
+                    args = (jnp.zeros((cc, 3), self._dt),
+                            jnp.zeros((cc,), jnp.int32),
+                            jnp.zeros((cc, C), self._dt),
+                            jnp.zeros((cc, pw), self._dt))
+                compiled = fn.lower(caps, *args).compile()
+                # store for direct reuse: recompiling identical HLO pays
+                # full price again (no reliable backend cache, see above)
+                prog = _CompiledProgram(
+                    compiled, lambda: self._fused(degree, pw))
+                with _SPEC_LOCK:
+                    if _FUSED_CACHE.get(key) is None:
+                        _FUSED_CACHE[key] = (self._F, prog)
+                        _COUNTS["programs"] += 1
+        except Exception:
+            pass                 # speculation must never break the build
+        finally:
+            ev.set()
+            with _SPEC_LOCK:
+                _SPEC_INFLIGHT.pop(key, None)
+
+    def speculate_for_groups(self, degrees) -> None:
+        """Pre-compile the canonical-block programs a refinement round over
+        degree-``degrees`` groups will request: the p-candidate program
+        (d+1, C(d)) and the h-candidate program (d, 0) per group degree d.
+
+        Speculate ONLY shapes the next round is certain to request: the
+        compile server serializes, so a wasted speculative compile (a
+        degree the build never reaches -- high-degree programs compile in
+        minutes) queues AHEAD of needed work and can multiply cold-start
+        time instead of hiding it (measured round 4: eager two-degrees-
+        ahead speculation made the cold headline build 647 s vs ~90 s for
+        exact-need pipelining)."""
+        shapes = []
+        for d in degrees:
+            if d < self._cfg.max_degree - 1:     # p allowed (build.py rule)
+                shapes.append((d + 1, consts.coeff_count(d),
+                               self._block_cc(d + 1)))
+            shapes.append((d, 0, self._block_cc(d)))
+        self.speculate(shapes)
 
     def _fused(self, degree: int, pw: int):
         """Point-gen + F + projection as one program over a cell block."""
@@ -331,14 +484,14 @@ class _FitCache:
             return self._fused_df(degree, pw)
         Q = basis.fit_rule_size(degree)
         x, _ = basis.leggauss(Q)
-        xj = jnp.asarray(x, self._dt)
+        xj = np.asarray(x, self._dt)          # numpy: see _fit_impl note
         F = self._F
         dt = self._dt
         nw, nws = self._cfg.nearness_weighting, self._cfg.nearness_strength
         call_caps = (F.fn if isinstance(F, CapturedSDF)
                      else getattr(F, "call_caps", None))
 
-        def fused(caps, c, d, p):
+        def fused(caps, c, d, cn, p):
             cc = c.shape[0]
             half = jnp.exp2(-(d.astype(c.dtype) + 1.0))
             gax = c[:, :, None] + half[:, None, None] * xj       # (cc, 3, Q)
@@ -348,7 +501,7 @@ class _FitCache:
             pts = jnp.stack([px, py, pz], axis=-1).reshape(-1, 3)
             Fv = (call_caps(caps, pts) if call_caps is not None else F(pts))
             Fv = Fv.astype(dt).reshape(cc, Q, Q, Q)
-            return _fit_impl(nw, nws, degree, pw, Fv, d, p)
+            return _fit_impl(nw, nws, degree, pw, Fv, d, cn, p)
 
         return jax.jit(fused)
 
@@ -359,14 +512,14 @@ class _FitCache:
         the TPU-resident build path."""
         Q = basis.fit_rule_size(degree)
         x, _ = basis.leggauss(Q)
-        xh, xl = (jnp.asarray(v) for v in df64.from_f64(x))      # (Q,)
+        xh, xl = df64.from_f64(x)             # numpy pair: see _fit_impl note
         F = self._F
         df_aware = isinstance(F, df64.DF64Fn)
         call_caps = (F.fn if isinstance(F, CapturedSDF)
                      else getattr(F, "call_caps", None))
         nw, nws = self._cfg.nearness_weighting, self._cfg.nearness_strength
 
-        def fused(caps, c, d, ph, pl):
+        def fused(caps, c, d, cnh, cnl, ph, pl):
             # c: (cc, 3) f32 centres -- exact (multiples of 2**-(depth+2));
             # half is an exact power of two, so half*x stays an exact pair
             # and the centre add is a two_sum: the quadrature points carry
@@ -398,7 +551,8 @@ class _FitCache:
                 vl = jnp.zeros_like(vh)
             Fh = vh.reshape(cc, Q, Q, Q)
             Fl = vl.reshape(cc, Q, Q, Q)
-            return _fit_impl_df64(nw, nws, degree, pw, Fh, Fl, d, ph, pl)
+            return _fit_impl_df64(nw, nws, degree, pw, Fh, Fl, d,
+                                  cnh, cnl, ph, pl)
 
         return jax.jit(fused)
 
@@ -406,16 +560,15 @@ class _FitCache:
                  prev: np.ndarray | None = None):
         M = centres.shape[0]
         pw = 0 if prev is None else prev.shape[1]
-        # Fixed cell-block size: large batches are split into BLOCK_PTS-
-        # sized dispatches, so each (degree, prev_width) compiles its fused
-        # program at a handful of stable shapes no matter how batch sizes
-        # evolve across refinement rounds (tracing F into an unbounded-
-        # shape program recompiled the -- potentially expensive -- F at
-        # every new bucket size; measured 15 s per compile for CSG
-        # rebuilds' tree-query F at 24M-point shapes).
-        Q = basis.fit_rule_size(degree)
-        cc = min(_bucket(M), max(256, self.block_pts // Q**3))
-        cc = -(-cc // self._ndev) * self._ndev      # shardable block size
+        # Fixed cell-block sizes (_cc_for): large batches are split into
+        # canonical-block dispatches, so each (degree, prev_width) compiles
+        # its fused program at a SMALL, PREDICTABLE shape set no matter how
+        # batch sizes evolve across refinement rounds (tracing F into an
+        # unbounded-shape program recompiled the -- potentially expensive --
+        # F at every new bucket size; measured 15 s per compile for CSG
+        # rebuilds' tree-query F at 24M-point shapes, ~40 s per df64 fit
+        # program cold).
+        cc = self._cc_for(M, degree)
         fn = self._get(degree, pw, cc)
         caps = _f_captures(self._F)
         outs = []          # jnp outputs; converted AFTER all dispatches so
@@ -431,12 +584,17 @@ class _FitCache:
                 p = np.concatenate([p, np.zeros((pad, pw), p.dtype)])
             if self._comp:
                 ph, pl = df64.from_f64(p)
+                cnh, cnl = _coeff_norms_df(degree)
                 outs.append(fn(caps, jnp.asarray(c, self._dt),
                                jnp.asarray(d),
+                               jnp.asarray(cnh[d], jnp.float32),
+                               jnp.asarray(cnl[d], jnp.float32),
                                jnp.asarray(ph), jnp.asarray(pl)))
             else:
+                cn = basis.coeff_norms(degree)
                 outs.append(fn(caps, jnp.asarray(c, self._dt),
                                jnp.asarray(d),
+                               jnp.asarray(cn[d], self._dt),
                                jnp.asarray(p, self._dt)))
         if self._comp:
             out_c = [np.asarray(ch, np.float64) + np.asarray(cl, np.float64)
@@ -447,6 +605,14 @@ class _FitCache:
             out_e = [np.asarray(e_, np.float64) for _, e_ in outs]
         coeffs = np.concatenate(out_c)[:M]
         err = np.concatenate(out_e)[:M]
+        # frontier sizes shrink late in a build: once this (degree, pw)'s
+        # frontier is within reach of the next smaller block, pre-compile
+        # that shape in the background. AFTER the dispatches above, so a
+        # speculative compile never queues ahead of needed work on the
+        # serialized compile server.
+        lower = [b for b in self._SMALL_BLOCKS if b < cc]
+        if lower and M <= 2 * lower[-1]:
+            self.speculate([(degree, pw, lower[-1])])
         return coeffs, err
 
 
@@ -599,6 +765,13 @@ def build(config: Config, F: SDFFn, *,
 
     st = _State(config)
     fit = _FitCache(F_int, config, mesh=fit_mesh)
+    # cold-start pipelining: the coarse stage always requests (2, 0) and
+    # round 1 -- if it happens -- requests the degree-2 group's programs;
+    # compile them in the background while earlier work runs (see
+    # speculate_for_groups for why speculation stays exact-need)
+    fit.speculate([(consts.COARSE_DEGREE, 0,
+                    fit._block_cc(consts.COARSE_DEGREE))])
+    fit.speculate_for_groups([consts.COARSE_DEGREE])
 
     def log(msg):
         if config.enable_logging:
@@ -652,6 +825,7 @@ def build(config: Config, F: SDFFn, *,
             break
 
         # Group the round's jobs by basis degree for static-shape batching.
+        next_degs: set = set()
         for d in np.unique(st.degree[sel]):
             grp = sel[st.degree[sel] == d]
             d = int(d)
@@ -698,6 +872,7 @@ def build(config: Config, F: SDFFn, *,
             # --- apply P (Octree.cpp:253-260) -----------------------------
             pg = grp[refine_p]
             if pg.size:
+                next_degs.add(d + 1)    # next round may refine these anew
                 pc = p_coeffs[refine_p]
                 st.coeffs[pg, : pc.shape[1]] = pc
                 st.degree[pg] = d + 1
@@ -722,6 +897,10 @@ def build(config: Config, F: SDFFn, *,
                 total_err += float(kerr.sum() - old_err[refine_h].sum())
 
         rounds += 1
+        if total_err > config.target_error and next_degs:
+            # p-refined nodes carry NEW degrees next round; pipeline their
+            # programs behind this round (exact-need, see speculate_for_groups)
+            fit.speculate_for_groups(sorted(next_degs))
         log(f"round {rounds}: {sel.size} refined, nodes={st.n}, "
             f"total_err={total_err:.3e}")
 

@@ -543,6 +543,10 @@ def _cg_solve_sharded(mesh, rows, cols, vals, s, diag, b, x0, n: int,
                   jax.device_put(padv(diag, 1.0), vec),
                   jax.device_put(padv(b, 0.0), vec),
                   jax.device_put(padv(x0, 0.0), vec))
+    if jax.process_count() > 1:
+        # multi-host: x spans processes; gather the full (small) vector
+        from jax.experimental import multihost_utils
+        x = multihost_utils.process_allgather(x, tiled=True)
     return np.asarray(x)[:n], int(k), float(rn)
 
 

@@ -49,7 +49,9 @@ def init_distributed(coordinator_address: str | None = None,
     or when running single-process with no coordinator configured."""
     import os
 
-    if jax.process_count() > 1:
+    # NOT jax.process_count(): that initializes the XLA backend, after
+    # which jax.distributed.initialize refuses to run
+    if jax.distributed.is_initialized():
         return
     coordinator_address = coordinator_address or os.environ.get(
         "HPSDF_COORDINATOR")

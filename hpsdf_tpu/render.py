@@ -64,8 +64,16 @@ INNER_STEPS_DEEP = 3     # and for DEEP/high-degree trees (reference-default
                          # builds): near-surface leaves are tiny but so are
                          # the steps, lanes dwell several steps per leaf, and
                          # each avoided relocation saves 2+ wide-row gathers
-                         # (v5e refdefault sweep: 2.0 / 4.2 / 4.5 Mrays/s at
-                         # inner 1/2/3, flat beyond)
+                         # (v5e refdefault sweep, round 4: 3.70 / 3.85+ /
+                         # 4.45 Mrays/s at deep inner 1 / 2 / 3)
+INNER_STEPS_LO = 3       # far-field LOD phase inner count. The round-3
+                         # advisor conjectured 1 (big deg<=2 leaves, lanes
+                         # leave every step); the round-4 v5e sweep on the
+                         # reference-default tree REFUTES that: at deep=3,
+                         # lo=1/2/3 measure 3.85 / 4.34 / 4.45 Mrays/s --
+                         # LOD-phase steps far from the surface are SMALL
+                         # relative to the big leaves (conservative v_lo-err
+                         # stepping), so lanes dwell there too
 LEAF_TOL = 1.0 + 1e-5    # |local| bound counting as "still in this leaf"
 
 
@@ -157,8 +165,9 @@ def _lo_of(pt: PackedTree):
 
 
 def _inner_steps_for(pt: PackedTree) -> int:
-    """Gather-free steps per relocation, chosen from the tree's (static)
-    read-path shape: see INNER_STEPS / INNER_STEPS_DEEP."""
+    """Gather-free steps per relocation in the FULL-row phase, chosen from
+    the tree's (static) read-path shape: see INNER_STEPS/INNER_STEPS_DEEP.
+    The far-field LOD phase always runs INNER_STEPS_LO."""
     if pt.width <= accel.LO_W and pt.extra_rounds == 0:
         return INNER_STEPS
     return INNER_STEPS_DEEP
@@ -320,9 +329,19 @@ def _march_block(pt: PackedTree, origins, dirs, t_max, hit_eps, max_steps,
     f, so no crossing of f can be skipped), handing each lane off to the
     full-row march when its conservative value drops under 8*hit_eps.
     p-refinement concentrates degree near the surface, so the far field
-    marches on exact (err = 0) deg<=2 rows at 2.7x cheaper gathers and ~5x
-    cheaper evals; hits are only ever declared by the full phase, so hit/t
-    guarantees are unchanged.
+    marches on exact (err = 0) deg<=2 rows at ~5x cheaper evals; hits are
+    only ever declared by the full phase, so hit/t guarantees are
+    unchanged.
+
+    A NEGATIVE result worth recording (round 4): certified leaf-exit jumps
+    -- lanes in leaves whose coefficient-norm bound proves f > 0 jumping
+    straight to the leaf's AABB exit -- measured a NO-OP on the reference-
+    default tree and -3% on the headline tree (v5e sweep, experiments/
+    march_sweep.py). The L1 corner bound c0 - sum|c_m| is tight for linear
+    fields, so exactly the near-surface-but-empty leaves that dominate the
+    grazing-ray tail never certify; far-field leaves do, but over-relaxed
+    f-steps there are already leaf-sized or larger. The jump logic was
+    removed again; the emptiness margin stayed out of the packed rows.
     """
     relax_on = omega > 1.0 and step_cap is None
     inner_steps = _inner_steps_for(pt)
@@ -342,6 +361,10 @@ def _march_block(pt: PackedTree, origins, dirs, t_max, hit_eps, max_steps,
     vprev0 = jnp.zeros(t.shape, jnp.float32)
     max_outer = max_steps          # safe cap: one relocation per step worst case
     k_lo = jnp.int32(0)
+    # unit-space ray parametrization: unit(t) = uo + t * udir replaces the
+    # per-step to_unit(origins + t*dirs) affine (same value, fewer ops)
+    uo = accel.to_unit(pt, origins)
+    udir = dirs * jnp.asarray(1.0 / np.asarray(pt.root_sizes), jnp.float32)
 
     if lo is not None:
         lo_grid, lo_rows = lo
@@ -354,15 +377,13 @@ def _march_block(pt: PackedTree, origins, dirs, t_max, hit_eps, max_steps,
 
         def outer1(state):
             t, active, nsteps, relax, adv_p, v_p, need_full, k = state
-            unit = jnp.clip(accel.to_unit(
-                pt, origins + t[..., None] * dirs), -0.5, 0.5)
+            unit = jnp.clip(uo + t[..., None] * udir, -0.5, 0.5)
             row = accel.locate_in(lo_grid, lo_rows, pt.grid_depth,
                                   pt.extra_rounds, unit)
 
             def inner(_, s):
                 t, active, nsteps, relax, adv_p, v_p, need_full = s
-                unit = jnp.clip(accel.to_unit(
-                    pt, origins + t[..., None] * dirs), -0.5, 0.5)
+                unit = jnp.clip(uo + t[..., None] * udir, -0.5, 0.5)
                 local = (unit - row[..., 2:5]) * row[..., 1:2]
                 in_leaf = jnp.all(jnp.abs(local) <= LEAF_TOL, axis=-1)
                 v_lo, err = _eval_lo(row, local)
@@ -404,7 +425,7 @@ def _march_block(pt: PackedTree, origins, dirs, t_max, hit_eps, max_steps,
 
             t, active, nsteps, relax, adv_p, v_p, need_full = (
                 jax.lax.fori_loop(
-                    0, inner_steps, inner,
+                    0, INNER_STEPS_LO, inner,
                     (t, active, nsteps, relax, adv_p, v_p, need_full),
                     unroll=True))
             return t, active, nsteps, relax, adv_p, v_p, need_full, k + 1
@@ -424,14 +445,12 @@ def _march_block(pt: PackedTree, origins, dirs, t_max, hit_eps, max_steps,
 
     def outer(state):
         t, hit, active, nsteps, relax, adv_p, v_p, k = state
-        p = origins + t[..., None] * dirs
-        unit = jnp.clip(accel.to_unit(pt, p), -0.5, 0.5)
+        unit = jnp.clip(uo + t[..., None] * udir, -0.5, 0.5)
         row = accel.locate(pt, unit)                     # the wide gathers
 
         def inner(_, s):
             t, hit, active, nsteps, relax, adv_p, v_p = s
-            unit = jnp.clip(accel.to_unit(
-                pt, origins + t[..., None] * dirs), -0.5, 0.5)
+            unit = jnp.clip(uo + t[..., None] * udir, -0.5, 0.5)
             local = (unit - row[..., 2:5]) * row[..., 1:2]
             in_leaf = jnp.all(jnp.abs(local) <= LEAF_TOL, axis=-1)
             v = _eval_local(pt, row, local)
