@@ -339,9 +339,13 @@ class _FitCache:
                 from jax.sharding import Mesh
                 self._mesh = Mesh(devs, ("fitcells",))
                 self._ndev = devs.size
-        # Point budget per fused dispatch: the axon tunnel costs ~0.2 s per
-        # dispatch, so larger blocks amortize it on TPU; host backends
-        # prefer smaller blocks (less peak memory, same throughput).
+        # Point budget per fused dispatch: the axon tunnel costs ~0.1-0.2 s
+        # per dispatch while the device phases run at ~1.1-1.4 Gpts/s
+        # (experiments/fit_roofline2.py: F-eval 3.0-3.7 ms + projection
+        # 3.2-3.8 ms per 4.2M-point block). 16M blocks were tried (warm
+        # refdefault 2.48 s -> 2.16 s) and REVERTED: their fit programs
+        # compile ~350 s each vs ~6 s at 4M (measured round 4,
+        # fit_time_cold_s 21 s -> 1421 s), a terrible trade for 13% warm.
         self.block_pts = (1 << 22 if jax.default_backend() == "tpu"
                           else 1 << 21)
 
@@ -556,8 +560,14 @@ class _FitCache:
 
         return jax.jit(fused)
 
+    # when set to a list, every fit call appends (degree, n_cells,
+    # wall_seconds) -- the bench's fit-phase accounting hook
+    timing_log: list | None = None
+
     def __call__(self, degree: int, centres: np.ndarray, depths: np.ndarray,
                  prev: np.ndarray | None = None):
+        t_call0 = time.perf_counter() if _FitCache.timing_log is not None \
+            else 0.0
         M = centres.shape[0]
         pw = 0 if prev is None else prev.shape[1]
         # Fixed cell-block sizes (_cc_for): large batches are split into
@@ -613,6 +623,9 @@ class _FitCache:
         lower = [b for b in self._SMALL_BLOCKS if b < cc]
         if lower and M <= 2 * lower[-1]:
             self.speculate([(degree, pw, lower[-1])])
+        if _FitCache.timing_log is not None:
+            _FitCache.timing_log.append(
+                (degree, M, time.perf_counter() - t_call0))
         return coeffs, err
 
 

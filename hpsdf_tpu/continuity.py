@@ -339,13 +339,12 @@ def assemble_face_matrix(tree: Octree):
             _numeric_entries(st, a[~same], b[~same], d[~same],
                              rows, cols, vals)
     if rows:
+        # every chunk was already EPSILON_F32-pruned on emission
+        # (_prune_append, mirroring Octree.cpp:1336-1340); re-pruning the
+        # concatenated arrays cost ~half the assembly tail at 50k+ leaves
         R = np.concatenate(rows)
         C = np.concatenate(cols)
         V = np.concatenate(vals)
-        # prune tiny entries as the reference does (EPSILON_F32 threshold,
-        # Octree.cpp:1336-1340)
-        keep = np.abs(V) > consts.EPSILON_F32
-        R, C, V = R[keep], C[keep], V[keep]
     else:
         R = np.zeros(0, np.int64)
         C = np.zeros(0, np.int64)

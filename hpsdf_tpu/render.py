@@ -64,8 +64,8 @@ INNER_STEPS_DEEP = 3     # and for DEEP/high-degree trees (reference-default
                          # builds): near-surface leaves are tiny but so are
                          # the steps, lanes dwell several steps per leaf, and
                          # each avoided relocation saves 2+ wide-row gathers
-                         # (v5e refdefault sweep, round 4: 3.70 / 3.85+ /
-                         # 4.45 Mrays/s at deep inner 1 / 2 / 3)
+                         # (v5e refdefault sweep, round 4, at lo=1:
+                         # deep=1/2/3 measure 2.08 / 3.70 / 3.85 Mrays/s)
 INNER_STEPS_LO = 3       # far-field LOD phase inner count. The round-3
                          # advisor conjectured 1 (big deg<=2 leaves, lanes
                          # leave every step); the round-4 v5e sweep on the

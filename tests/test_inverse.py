@@ -114,3 +114,25 @@ def test_loss_chunk_invariant(trees):
             for rc in (400, 96)]              # 96 forces padding (400->480)
     np.testing.assert_allclose(np.asarray(runs[0]), np.asarray(runs[1]),
                                rtol=2e-4)
+
+
+def test_sharded_rays_match_single_device(trees):
+    """fit_to_depth with rays sharded over the 8-device mesh matches the
+    single-device run step for step at 256^2 rays (round-3 verdict item 6:
+    'sharded-vs-single equivalence at >= 256^2 rays')."""
+    from hpsdf_tpu import parallel
+
+    tree, _ = trees
+    o, d = camera_rays((0.0, 0.0, -1.8), (0.0, 0.0, 0.0),
+                       width=256, height=256)
+    t_star, hit_star = inverse.render_targets(tree, o, d, t_max=4.0)
+    mesh = parallel.make_mesh()
+    kw = dict(n_steps=2, t_max=4.0, ray_chunk=1 << 14)
+    single = inverse.fit_to_depth(tree, o, d, t_star, hit_star, **kw)
+    sharded = inverse.fit_to_depth(tree, o, d, t_star, hit_star,
+                                   mesh=mesh, **kw)
+    np.testing.assert_allclose(np.asarray(sharded.losses),
+                               np.asarray(single.losses), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(sharded.tree.coeffs),
+                               np.asarray(single.tree.coeffs),
+                               rtol=1e-4, atol=1e-7)
