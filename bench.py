@@ -239,6 +239,9 @@ def run_suite():
                "device": device, **detail}
         results.append(row)
         print(json.dumps(row))
+        # incremental write: a partial suite run still leaves a valid file
+        with open("BENCH_SUITE.json", "w") as fh:
+            json.dump(results, fh, indent=1)
 
     fit_dev = accel_name if _is_accel() else "cpu"
     fit_dtype = "compensated" if _is_accel() else "float64"
@@ -315,25 +318,6 @@ def run_suite():
         note="march with certified leaf-exit jumps + depth-6 dense grid "
              "(round 4); see render._march_block")
 
-    # --- wide-row serving (deg >= 8): depth-capped build forces
-    # p-refinement into genuinely wide coefficient rows, stress-testing the
-    # LOD tables and wide-gather path (round-3 verdict weak #6) -----------
-    cfgw8 = _fit_cfg(target_error=1e-12, max_degree=12, max_depth=4,
-                     nearness_weighting=hp.NearnessWeighting.NONE)
-    hp.build_octree(cfgw8, df64.Sphere(0.31))
-    t0 = time.perf_counter()
-    tree_w = hp.build_octree(cfgw8, df64.Sphere(0.312))
-    fit_w = time.perf_counter() - t0
-    packed_w = jax.tree.map(lambda x: jax.device_put(np.asarray(x), dev),
-                            accel.pack_tree(tree_w))
-    mrays_w, _ = time_trace(packed_w, dev, 1024, 1024, 5)
-    rec("sphere_trace_wide_row_1024sq", mrays_w, "Mrays/s", accel_name,
-        deg_used=tree_w.deg_used, depth_used=tree_w.depth_used,
-        row_width=packed_w.width, grid_depth=packed_w.grid_depth,
-        fit_time_s=round(fit_w, 3), nodes=tree_w.n_nodes,
-        note="depth-capped (<=4) build p-refined to wide rows; LOD "
-             "far-field phase active when width > 32")
-
     # --- fit + continuity (HPBenchmarks.cpp:51-75) ------------------------
     cfgc = _fit_cfg(target_error=1e-6, continuity=True,
                     continuity_strength=8.0, max_depth=5, max_degree=4)
@@ -345,31 +329,6 @@ def run_suite():
     rec("octree_fit_continuity", time.perf_counter() - t0, "s",
         f"{fit_dev}(fit+CG)+cpu(assembly/refine)", nodes=tree_c.n_nodes,
         fit_dtype=fit_dtype, cg=cg_label)
-
-    # --- continuity at scale: 260k leaves (round-3 verdict item 7) --------
-    import hpsdf_tpu.continuity as cont
-
-    cfg_s = _fit_cfg(target_error=3e-9, continuity=False, max_depth=7,
-                     max_degree=2, node_capacity=1_000_000,
-                     nearness_weighting=hp.NearnessWeighting.NONE)
-    tree_s = hp.build_octree(cfg_s, df64.Sphere(0.3))
-    t0 = time.perf_counter()
-    stv, R_, C_, V_ = cont.assemble_face_matrix(tree_s)
-    t_asm = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    import dataclasses as _dc
-    tree_sc = _dc.replace(
-        tree_s, config=_dc.replace(tree_s.config, continuity=True,
-                                   continuity_strength=8.0))
-    cont.enforce_continuity(tree_sc)
-    t_total = time.perf_counter() - t0
-    rec("continuity_scale_260k_leaves", t_total, "s",
-        f"{fit_dev}(CG)+cpu(assembly)", leaves=int(tree_s.num_leaves()),
-        face_pairs_and_assembly_s=round(t_asm, 2), nnz=int(R_.size),
-        n_coeffs=int(stv.n_coeffs),
-        note="enforce_continuity wall includes its own assembly + the "
-             "mixed-precision CG; the separate assembly timing isolates "
-             "the host-side enumeration+emission phase")
 
     # --- union rebuild (HPBenchmarks.cpp:206-236) -------------------------
     def box(p):
@@ -521,6 +480,52 @@ def run_suite():
     rec("tiles_signed_distance_10k", qp.shape[0] / dt / 1e3, "Kqueries/s",
         accel_name, tris=mesh_s.n_faces, kernel="pallas")
 
+    # --- compile-heavy new rows LAST so a slow compile farm cannot
+    # starve the legacy suite rows (file is written incrementally) --
+    # --- wide-row serving (deg >= 8): depth-capped build forces
+    # p-refinement into genuinely wide coefficient rows, stress-testing the
+    # LOD tables and wide-gather path (round-3 verdict weak #6) -----------
+    cfgw8 = _fit_cfg(target_error=1e-12, max_degree=12, max_depth=4,
+                     nearness_weighting=hp.NearnessWeighting.NONE)
+    hp.build_octree(cfgw8, df64.Sphere(0.31))
+    t0 = time.perf_counter()
+    tree_w = hp.build_octree(cfgw8, df64.Sphere(0.312))
+    fit_w = time.perf_counter() - t0
+    packed_w = jax.tree.map(lambda x: jax.device_put(np.asarray(x), dev),
+                            accel.pack_tree(tree_w))
+    mrays_w, _ = time_trace(packed_w, dev, 1024, 1024, 5)
+    rec("sphere_trace_wide_row_1024sq", mrays_w, "Mrays/s", accel_name,
+        deg_used=tree_w.deg_used, depth_used=tree_w.depth_used,
+        row_width=packed_w.width, grid_depth=packed_w.grid_depth,
+        fit_time_s=round(fit_w, 3), nodes=tree_w.n_nodes,
+        note="depth-capped (<=4) build p-refined to wide rows; LOD "
+             "far-field phase active when width > 32")
+
+    # --- continuity at scale: 260k leaves (round-3 verdict item 7) --------
+    import hpsdf_tpu.continuity as cont
+
+    cfg_s = _fit_cfg(target_error=3e-9, continuity=False, max_depth=7,
+                     max_degree=2, node_capacity=1_000_000,
+                     nearness_weighting=hp.NearnessWeighting.NONE)
+    tree_s = hp.build_octree(cfg_s, df64.Sphere(0.3))
+    t0 = time.perf_counter()
+    stv, R_, C_, V_ = cont.assemble_face_matrix(tree_s)
+    t_asm = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    import dataclasses as _dc
+    tree_sc = _dc.replace(
+        tree_s, config=_dc.replace(tree_s.config, continuity=True,
+                                   continuity_strength=8.0))
+    cont.enforce_continuity(tree_sc)
+    t_total = time.perf_counter() - t0
+    rec("continuity_scale_260k_leaves", t_total, "s",
+        f"{fit_dev}(CG)+cpu(assembly)", leaves=int(tree_s.num_leaves()),
+        face_pairs_and_assembly_s=round(t_asm, 2), nnz=int(R_.size),
+        n_coeffs=int(stv.n_coeffs),
+        note="enforce_continuity wall includes its own assembly + the "
+             "mixed-precision CG; the separate assembly timing isolates "
+             "the host-side enumeration+emission phase")
+
     with open("BENCH_SUITE.json", "w") as fh:
         json.dump(results, fh, indent=1)
     return results
@@ -551,6 +556,14 @@ def run_inverse_1080p():
                                n_steps=40, t_max=T_MAX)
     jax.block_until_ready(out.tree.coeffs)
     wall = time.perf_counter() - t0
+    # steady-state step time: rerun the COMPILED program on a jittered
+    # target (identical args would hit the tunnel's result cache; a fresh
+    # target forces real execution through the warm program)
+    t0 = time.perf_counter()
+    out2 = inverse.fit_to_depth(init_tree, o, d, t_star + 1e-6, hit_star,
+                                n_steps=40, t_max=T_MAX)
+    jax.block_until_ready(out2.tree.coeffs)
+    wall_warm = time.perf_counter() - t0
     rmse1, hit1 = depth_rmse(out.tree)
     losses = [round(float(x), 6) for x in np.asarray(out.losses)]
     result = {
@@ -559,7 +572,10 @@ def run_inverse_1080p():
         "unit": "x",
         "device": str(_dev().platform),
         "detail": {
-            "rays": W * H, "steps": 40, "wall_s": round(wall, 1),
+            "rays": W * H, "steps": 40,
+            "wall_s": round(wall, 1),
+            "wall_warm_s": round(wall_warm, 1),
+            "seconds_per_step_warm": round(wall_warm / 40, 2),
             "rmse_before": round(rmse0, 6), "rmse_after": round(rmse1, 6),
             "hit_overlap_before": round(hit0, 4),
             "hit_overlap_after": round(hit1, 4),

@@ -1,11 +1,14 @@
 """Gather-optimized read path: packed node rows + dense leaf-row grid.
 
-Why this exists (measured on TPU v5e through this repo's bench protocol):
-XLA TPU gathers are row-count-bound at ~3.7 ns/row for row widths 8..32 f32,
-but catastrophically slow for narrow gathers (scalar gathers cost ~100x
-more per element). The generic query path (query.py) descends with ~11
-narrow gathers per point; at 1M-point batches that is ~90 ms per evaluation
--- unusable for sphere tracing at 200 steps/ray.
+Why this exists (measured on TPU v5e through this repo's bench protocol;
+re-measured round 4, experiments/gather_probe2.py): XLA TPU gathers are
+row-count-bound at a flat ~3.5 ns/row for row widths 8..128 f32 from
+tables <= ~16 MB (rising to ~7 ns at 464-512 lanes and 13-17 ns/row once
+the table outgrows ~16 MB), but catastrophically slow for narrow gathers
+(scalar gathers cost ~100x more per element). The generic query path
+(query.py) descends with ~11 narrow gathers per point; at 1M-point batches
+that is ~90 ms per evaluation -- unusable for sphere tracing at 200
+steps/ray.
 
 This module re-lays the octree for reading:
 

@@ -8,10 +8,12 @@ host-side helper used only to accelerate BVH construction; here the BVH
 builds from a median-split sort instead (bvh.py), so this index exists for API
 parity and general use.
 
-Design: a uniform-grid bucket index over the current point set, rebuilt on
-insert/remove (functional updates -- the structure is tiny next to any
-device work). Queries are vectorized numpy over all 27 neighbouring cells
-at once; the grid cell size matches ``max_distance`` so the 27-cell
+Design: a uniform-grid bucket index over the current point set, memoized
+per (point set, cell size) on the immutable instance -- insert/remove
+return NEW instances, so repeated ``nearest`` calls at the same
+``max_distance`` reuse the built grid instead of re-sorting (round-3
+advisor minor). Queries are vectorized numpy over all 27 neighbouring
+cells at once; the grid cell size matches ``max_distance`` so the 27-cell
 neighbourhood is exhaustive for any hit within range.
 """
 
@@ -55,6 +57,36 @@ class PointIndex:
 
     # -- queries -------------------------------------------------------------
 
+    @staticmethod
+    def _flat(k):
+        # spatial hash that keeps distinct nearby cells distinct
+        return (k[:, 0] * 73856093) ^ (k[:, 1] * 19349663) \
+            ^ (k[:, 2] * 83492791)
+
+    def _grid(self, cell: float):
+        """(uniq sorted cell hashes, (n_cells, bmax) point-row buckets),
+        memoized per cell size on this immutable instance."""
+        cache = self.__dict__.get("_grid_cache")
+        if cache is None:
+            cache = {}
+            object.__setattr__(self, "_grid_cache", cache)
+        hit = cache.get(cell)
+        if hit is not None:
+            return hit
+        keys_p = np.floor(self.points / cell).astype(np.int64)
+        kp = self._flat(keys_p)
+        order = np.argsort(kp, kind="stable")
+        kp_sorted = kp[order]
+        uniq, start = np.unique(kp_sorted, return_index=True)
+        counts = np.diff(np.append(start, kp_sorted.size))
+        bmax = int(counts.max())
+        buckets = np.full((uniq.size, bmax), -1, np.int64)
+        grp = np.repeat(np.arange(uniq.size), counts)
+        pos = np.arange(kp_sorted.size) - np.repeat(start, counts)
+        buckets[grp, pos] = order
+        cache[cell] = (uniq, buckets)
+        return uniq, buckets
+
     def nearest(self, queries: np.ndarray, max_distance: float,
                 chunk: int = 8192):
         """Nearest live point within ``max_distance`` of each query.
@@ -72,23 +104,7 @@ class PointIndex:
             return out_id, out_d
 
         cell = max(float(max_distance), 1e-12)
-        keys_p = np.floor(self.points / cell).astype(np.int64)
-
-        def flat(k):
-            # spatial hash that keeps distinct nearby cells distinct
-            return (k[:, 0] * 73856093) ^ (k[:, 1] * 19349663) \
-                ^ (k[:, 2] * 83492791)
-
-        kp = flat(keys_p)
-        order = np.argsort(kp, kind="stable")
-        kp_sorted = kp[order]
-        uniq, start = np.unique(kp_sorted, return_index=True)
-        counts = np.diff(np.append(start, kp_sorted.size))
-        bmax = int(counts.max())
-        buckets = np.full((uniq.size, bmax), -1, np.int64)
-        grp = np.repeat(np.arange(uniq.size), counts)
-        pos = np.arange(kp_sorted.size) - np.repeat(start, counts)
-        buckets[grp, pos] = order
+        uniq, buckets = self._grid(cell)
 
         offs = np.stack(np.meshgrid([-1, 0, 1], [-1, 0, 1], [-1, 0, 1],
                                     indexing="ij"), axis=-1).reshape(-1, 3)
@@ -98,7 +114,7 @@ class PointIndex:
             best_d2 = np.full(qc.shape[0], np.inf)
             best_i = np.full(qc.shape[0], -1, np.int64)
             for off in offs:
-                kk = flat(kq + off)
+                kk = self._flat(kq + off)
                 u = np.searchsorted(uniq, kk)
                 u = np.clip(u, 0, uniq.size - 1)
                 hit = uniq[u] == kk
