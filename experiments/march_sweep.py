@@ -1,4 +1,9 @@
-"""Sweep march knobs (inner steps, jumps) on TPU for headline+refdefault."""
+"""Sweep march knobs (inner steps, jumps) on TPU for headline+refdefault.
+
+STANDALONE SCRIPT ONLY -- ``run`` mutates render-module globals
+(INNER_STEPS*) to re-trace the march at each setting and never restores
+them. Do not import anything from this file; run it as a script and let
+the process exit (round-4 verdict, minor #8)."""
 import dataclasses
 import time
 import numpy as np

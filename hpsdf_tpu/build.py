@@ -505,7 +505,9 @@ class _FitCache:
             pts = jnp.stack([px, py, pz], axis=-1).reshape(-1, 3)
             Fv = (call_caps(caps, pts) if call_caps is not None else F(pts))
             Fv = Fv.astype(dt).reshape(cc, Q, Q, Q)
-            return _fit_impl(nw, nws, degree, pw, Fv, d, cn, p)
+            c_, e_ = _fit_impl(nw, nws, degree, pw, Fv, d, cn, p)
+            # ONE packed output array -> one device->host fetch per block
+            return jnp.concatenate([c_, e_[:, None]], axis=1)
 
         return jax.jit(fused)
 
@@ -555,19 +557,31 @@ class _FitCache:
                 vl = jnp.zeros_like(vh)
             Fh = vh.reshape(cc, Q, Q, Q)
             Fl = vl.reshape(cc, Q, Q, Q)
-            return _fit_impl_df64(nw, nws, degree, pw, Fh, Fl, d,
-                                  cnh, cnl, ph, pl)
+            ch, cl, err = _fit_impl_df64(nw, nws, degree, pw, Fh, Fl, d,
+                                         cnh, cnl, ph, pl)
+            # ONE packed output array -> one device->host fetch per block
+            # (each fetch is a full tunnel round trip; see _PendingFit)
+            return jnp.concatenate([ch, cl, err[:, None]], axis=1)
 
         return jax.jit(fused)
 
-    # when set to a list, every fit call appends (degree, n_cells,
-    # wall_seconds) -- the bench's fit-phase accounting hook
+    # when set to a list, every fit appends (degree, n_cells,
+    # dispatch_seconds, collect_seconds) -- the bench's fit-phase
+    # accounting hook (collect_seconds overlaps other fits' device work
+    # under the pipelined round structure; see build()'s round loop)
     timing_log: list | None = None
 
-    def __call__(self, degree: int, centres: np.ndarray, depths: np.ndarray,
-                 prev: np.ndarray | None = None):
-        t_call0 = time.perf_counter() if _FitCache.timing_log is not None \
-            else 0.0
+    def dispatch(self, degree: int, centres: np.ndarray, depths: np.ndarray,
+                 prev: np.ndarray | None = None) -> "_PendingFit":
+        """Issue the device dispatches for one fit batch WITHOUT reading
+        results back. The axon tunnel costs ~0.1-0.2 s per round trip while
+        the device work is ~7 ms per block (experiments/fit_roofline2.py):
+        the build's round loop therefore dispatches the p- and h-candidate
+        fits of ALL degree groups before collecting any of them, so the
+        per-fit latencies overlap instead of serializing (round-4 verdict
+        item 2; the reference hides the same latency with its worker pool,
+        Source/HP/Octree.cpp:194-309)."""
+        t0 = time.perf_counter() if _FitCache.timing_log is not None else 0.0
         M = centres.shape[0]
         pw = 0 if prev is None else prev.shape[1]
         # Fixed cell-block sizes (_cc_for): large batches are split into
@@ -581,8 +595,8 @@ class _FitCache:
         cc = self._cc_for(M, degree)
         fn = self._get(degree, pw, cc)
         caps = _f_captures(self._F)
-        outs = []          # jnp outputs; converted AFTER all dispatches so
-        for s in range(0, M, cc):          # blocks overlap on the device
+        outs = []                    # packed (cc, *) outputs, still on device
+        for s in range(0, M, cc):
             c = centres[s: s + cc]
             d = depths[s: s + cc]
             p = (prev[s: s + cc] if pw
@@ -606,15 +620,6 @@ class _FitCache:
                                jnp.asarray(d),
                                jnp.asarray(cn[d], self._dt),
                                jnp.asarray(p, self._dt)))
-        if self._comp:
-            out_c = [np.asarray(ch, np.float64) + np.asarray(cl, np.float64)
-                     for ch, cl, _ in outs]
-            out_e = [np.asarray(err, np.float64) for *_, err in outs]
-        else:
-            out_c = [np.asarray(c_) for c_, _ in outs]
-            out_e = [np.asarray(e_, np.float64) for _, e_ in outs]
-        coeffs = np.concatenate(out_c)[:M]
-        err = np.concatenate(out_e)[:M]
         # frontier sizes shrink late in a build: once this (degree, pw)'s
         # frontier is within reach of the next smaller block, pre-compile
         # that shape in the background. AFTER the dispatches above, so a
@@ -623,9 +628,58 @@ class _FitCache:
         lower = [b for b in self._SMALL_BLOCKS if b < cc]
         if lower and M <= 2 * lower[-1]:
             self.speculate([(degree, pw, lower[-1])])
+        return _PendingFit(self, degree, M, outs, t0)
+
+    def __call__(self, degree: int, centres: np.ndarray, depths: np.ndarray,
+                 prev: np.ndarray | None = None):
+        return self.dispatch(degree, centres, depths, prev).collect()
+
+
+class _PendingFit:
+    """In-flight fit batch: device dispatches issued, results not yet read.
+
+    ``start_fetch`` begins the device->host copies without blocking
+    (best-effort: backends without async host copies just no-op);
+    ``collect`` blocks, unpacks the packed output columns and returns
+    (coeffs (M, C) f64, err (M,) f64)."""
+
+    def __init__(self, cache: _FitCache, degree: int, M: int, outs, t0):
+        self._cache = cache
+        self._degree = degree
+        self._M = M
+        self._outs = outs
+        self._t0 = t0
+        self._dispatch_s = (time.perf_counter() - t0) if t0 else 0.0
+        self._fetching = False
+
+    def start_fetch(self) -> None:
+        if self._fetching:
+            return
+        self._fetching = True
+        for o in self._outs:
+            try:
+                o.copy_to_host_async()
+            except Exception:
+                return                     # backend without async copies
+
+    def collect(self):
+        t0 = time.perf_counter() if _FitCache.timing_log is not None else 0.0
+        self.start_fetch()
+        C = consts.coeff_count(self._degree)
+        arrs = [np.asarray(o) for o in self._outs]     # ONE fetch per block
+        if self._cache._comp:
+            out_c = [a[:, :C].astype(np.float64)
+                     + a[:, C:2 * C].astype(np.float64) for a in arrs]
+            out_e = [a[:, 2 * C].astype(np.float64) for a in arrs]
+        else:
+            out_c = [a[:, :C] for a in arrs]
+            out_e = [a[:, C].astype(np.float64) for a in arrs]
+        coeffs = np.concatenate(out_c)[: self._M]
+        err = np.concatenate(out_e)[: self._M]
         if _FitCache.timing_log is not None:
             _FitCache.timing_log.append(
-                (degree, M, time.perf_counter() - t_call0))
+                (self._degree, self._M, self._dispatch_s,
+                 time.perf_counter() - t0))
         return coeffs, err
 
 
@@ -838,7 +892,15 @@ def build(config: Config, F: SDFFn, *,
             break
 
         # Group the round's jobs by basis degree for static-shape batching.
+        # PIPELINED DISPATCH (round-4 verdict item 2): the p- and
+        # h-candidate fits of every degree group are independent of each
+        # other, so ALL of them are dispatched to the device before any
+        # result is read back -- per-dispatch tunnel latencies (~0.1-0.2 s,
+        # ~93% of a warm refdefault build when serialized) overlap instead
+        # of accumulating. The reference hides the same latency with its
+        # producer-consumer worker pool (Octree.cpp:194-309).
         next_degs: set = set()
+        jobs = []
         for d in np.unique(st.degree[sel]):
             grp = sel[st.degree[sel] == d]
             d = int(d)
@@ -846,16 +908,14 @@ def build(config: Config, F: SDFFn, *,
             gh_ok_mask = st.depth[grp] < max_dep
 
             # --- p-candidates: incremental fit at degree d+1 --------------
-            p_err = np.full(grp.size, np.inf)
-            p_coeffs = None
+            pend_p = None
             if gp_ok:
                 pw = consts.coeff_count(d)
-                p_coeffs, p_err = fit(d + 1, st.centre[grp], st.depth[grp],
+                pend_p = fit.dispatch(d + 1, st.centre[grp], st.depth[grp],
                                       prev=st.coeffs[grp, :pw])
 
             # --- h-candidates: 8 same-degree fits over the children -------
-            h_err8 = None
-            h_coeffs = None
+            pend_h = None
             if gh_ok_mask.any():
                 hg = grp[gh_ok_mask]
                 q = np.exp2(-(st.depth[hg].astype(np.float64) + 2.0))
@@ -865,7 +925,23 @@ def build(config: Config, F: SDFFn, *,
                 ch_cen = (st.centre[hg][:, None, :]
                           + q[:, None, None] * sgn[None]).reshape(-1, 3)
                 ch_dep = np.repeat(st.depth[hg] + 1, 8)
-                h_coeffs, h_err_flat = fit(d, ch_cen, ch_dep)
+                pend_h = fit.dispatch(d, ch_cen, ch_dep)
+            jobs.append((d, grp, gp_ok, gh_ok_mask, pend_p, pend_h))
+
+        for _, _, _, _, pend_p, pend_h in jobs:      # overlap host copies
+            for pend in (pend_p, pend_h):
+                if pend is not None:
+                    pend.start_fetch()
+
+        for d, grp, gp_ok, gh_ok_mask, pend_p, pend_h in jobs:
+            p_err = np.full(grp.size, np.inf)
+            p_coeffs = None
+            if pend_p is not None:
+                p_coeffs, p_err = pend_p.collect()
+            h_err8 = None
+            h_coeffs = None
+            if pend_h is not None:
+                h_coeffs, h_err_flat = pend_h.collect()
                 h_err8 = h_err_flat.reshape(-1, 8)
 
             # --- decide h vs p (Octree.cpp:594-601, eqs (8)/(9)) ----------

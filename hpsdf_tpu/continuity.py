@@ -415,7 +415,11 @@ def _cg_solve_mixed(R, C, V, s, diag, b, x0, n: int, tol, max_iter: int,
     Same (x, iters, residual) contract and stopping rule as _cg_solve:
     ||r||_2 <= tol * ||b||_2 in exact f64.
     """
-    Rj, Cj = jnp.asarray(R), jnp.asarray(C)
+    # i32 indices: n_coeffs is far below 2^31 and the i64 COO index pair
+    # alone is ~1 GB at the 62M-nnz 260k-leaf scale -- halving it bounds
+    # the device footprint of the f32 iteration arrays (round-4 verdict
+    # item 4: the suite's TPU worker died at the end of this row)
+    Rj, Cj = jnp.asarray(R, jnp.int32), jnp.asarray(C, jnp.int32)
     V32 = jnp.asarray(V, jnp.float32)
     d32 = jnp.asarray(diag, jnp.float32)
     nrm_b = float(np.linalg.norm(b))

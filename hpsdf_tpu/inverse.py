@@ -48,6 +48,7 @@ def fit_to_depth(tree: Octree, origins, dirs, target_t, target_hit,
                  eikonal_weight: float = 0.1,
                  ray_chunk: int = 1 << 16,
                  param_space: str = "folded",
+                 lr_warmup: int = 0,
                  mesh=None) -> InverseResult:
     """Gradient-descent the tree's coefficients so its sphere-traced depths
     match ``target_t`` on ``target_hit`` rays (Adam, jitted lax.scan).
@@ -160,7 +161,17 @@ def fit_to_depth(tree: Octree, origins, dirs, target_t, target_hit,
         raise ValueError(f"param_space must be 'folded' or 'raw', "
                          f"got {param_space!r}")
     folded_space = param_space == "folded"
-    opt = optax.adam(lr)
+    # ``lr_warmup`` > 0 ramps the lr linearly over that many steps -- kept
+    # as an experiment knob for the step-1 Adam transient (at step 1 the
+    # bias-corrected update is lr*sign(g) elementwise, which perturbs every
+    # coefficient by the full lr at once; see experiments/inverse_spike.py
+    # for the measurements). Default off: see the no-warmup NOTE above.
+    if lr_warmup > 0:
+        sched = lambda count: lr * jnp.minimum(  # noqa: E731
+            1.0, (count.astype(jnp.float32) + 1.0) / lr_warmup)
+        opt = optax.adam(sched)
+    else:
+        opt = optax.adam(lr)
     coeffs0 = tree.coeffs.astype(jnp.float32)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P

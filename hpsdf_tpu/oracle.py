@@ -332,32 +332,30 @@ def scipy_continuity(tree: Octree, strength: float) -> Octree:
         hi1 = min(centre[ia, t1] + half[ia], centre[ib, t1] + half[ib])
         lo2 = max(centre[ia, t2] - half[ia], centre[ib, t2] - half[ib])
         hi2 = min(centre[ia, t2] + half[ia], centre[ib, t2] + half[ib])
-        if True:
-            if True:
-                # 2-D tensor quadrature over the shared rectangle
-                D = max(int(degree[ia]), int(degree[ib]))
-                x, w = basis.leggauss(basis.face_rule_size(D))
-                m1 = 0.5 * (lo1 + hi1) + 0.5 * (hi1 - lo1) * x
-                m2 = 0.5 * (lo2 + hi2) + 0.5 * (hi2 - lo2) * x
-                g1, g2 = np.meshgrid(m1, m2, indexing="ij")
-                pts = np.zeros((g1.size, 3))
-                pts[:, dim] = centre[ia, dim] + half[ia]
-                pts[:, t1] = g1.ravel()
-                pts[:, t2] = g2.ravel()
-                ww = (np.outer(w, w).ravel()
-                      * (0.25 * (hi1 - lo1) * (hi2 - lo2)))
-                Pa = _leaf_basis_at(centre[ia], int(depth[ia]),
-                                    int(degree[ia]), pts)
-                Pb = _leaf_basis_at(centre[ib], int(depth[ib]),
-                                    int(degree[ib]), pts)
-                G = np.concatenate([Pa, -Pb], axis=1)       # (N, Ca+Cb)
-                blk = G.T @ (G * ww[:, None])
-                off = np.concatenate(
-                    [offset[int(ia)] + np.arange(Pa.shape[1]),
-                     offset[int(ib)] + np.arange(Pb.shape[1])])
-                rows.append(np.repeat(off, off.size))
-                cols.append(np.tile(off, off.size))
-                vals.append(blk.ravel())
+        # 2-D tensor quadrature over the shared rectangle
+        D = max(int(degree[ia]), int(degree[ib]))
+        x, w = basis.leggauss(basis.face_rule_size(D))
+        m1 = 0.5 * (lo1 + hi1) + 0.5 * (hi1 - lo1) * x
+        m2 = 0.5 * (lo2 + hi2) + 0.5 * (hi2 - lo2) * x
+        g1, g2 = np.meshgrid(m1, m2, indexing="ij")
+        pts = np.zeros((g1.size, 3))
+        pts[:, dim] = centre[ia, dim] + half[ia]
+        pts[:, t1] = g1.ravel()
+        pts[:, t2] = g2.ravel()
+        ww = (np.outer(w, w).ravel()
+              * (0.25 * (hi1 - lo1) * (hi2 - lo2)))
+        Pa = _leaf_basis_at(centre[ia], int(depth[ia]),
+                            int(degree[ia]), pts)
+        Pb = _leaf_basis_at(centre[ib], int(depth[ib]),
+                            int(degree[ib]), pts)
+        G = np.concatenate([Pa, -Pb], axis=1)       # (N, Ca+Cb)
+        blk = G.T @ (G * ww[:, None])
+        off = np.concatenate(
+            [offset[int(ia)] + np.arange(Pa.shape[1]),
+             offset[int(ib)] + np.arange(Pb.shape[1])])
+        rows.append(np.repeat(off, off.size))
+        cols.append(np.tile(off, off.size))
+        vals.append(blk.ravel())
 
     if rows:
         M = sp.coo_matrix(

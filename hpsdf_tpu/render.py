@@ -231,13 +231,18 @@ def _sorted_blocks(pt: PackedTree, origins, dirs):
 
 def _unsort_blocks(perm, t, hit):
     """Invert _sorted_blocks on per-ray (t, hit): pack each block's results
-    into one row, gather rows through the inverse permutation (wide), unpack."""
+    into one row, gather rows through the inverse permutation (wide), unpack.
+
+    The inverse permutation is a second sort, NOT a scatter: the round-5
+    budget (experiments/march_budget.py + sort_probe.py) put the former
+    ``zeros.at[perm].set(iota)`` scatter at ~11 ms of the 28 ms sort
+    pipeline on v5e -- TPU scatters serialize -- while argsort of the same
+    131k rows is ~2.6 ms."""
     nb = perm.shape[0]
     out_rows = jnp.concatenate(
         [t.reshape(nb, SORT_BLOCK),
          hit.reshape(nb, SORT_BLOCK).astype(jnp.float32)], axis=1)
-    inv = jnp.zeros_like(perm).at[perm].set(
-        jnp.arange(nb, dtype=perm.dtype))
+    inv = jnp.argsort(perm)
     out = jax.lax.optimization_barrier(out_rows[inv])
     return (out[:, :SORT_BLOCK].reshape(-1),
             out[:, SORT_BLOCK:].reshape(-1) > jnp.float32(0.5))
@@ -310,10 +315,13 @@ LOD_HANDOFF = 8.0
 
 
 def _march_block(pt: PackedTree, origins, dirs, t_max, hit_eps, max_steps,
-                 step_cap=None, omega: float = OMEGA, lo=None):
+                 step_cap=None, omega: float = OMEGA, lo=None,
+                 with_stats: bool = False):
     """Two-level while_loop march over one ray chunk; all f32. Returns
     (t, hit, k) with k = i32[2]: [LOD-phase, full-phase] outer relocation
-    rounds (k[0] = 0 when ``lo`` is None).
+    rounds (k[0] = 0 when ``lo`` is None). ``with_stats`` appends the
+    per-lane executed step counts (i32[B]) -- the frozen-lane occupancy
+    numerator of the march time budget (experiments/march_budget.py).
 
     ``omega`` > 1 enables over-relaxed stepping: lanes advance by
     ``omega * (STEP_SCALE*v + MIN_STEP)`` while the step spheres of
@@ -503,9 +511,11 @@ def _march_block(pt: PackedTree, origins, dirs, t_max, hit_eps, max_steps,
             (t, hit, active, nsteps, relax, adv_p, v_p), unroll=True)
         return t, hit, active, nsteps, relax, adv_p, v_p, k + 1
 
-    t, hit, _, _, _, _, _, k = jax.lax.while_loop(
+    t, hit, _, nsteps, _, _, _, k = jax.lax.while_loop(
         cond, outer, (t, hit0, active0, nsteps0, relax0, adv0, vprev0,
                       jnp.int32(0)))
+    if with_stats:
+        return t, hit, jnp.stack([k_lo, k]), nsteps
     return t, hit, jnp.stack([k_lo, k])
 
 
