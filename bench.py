@@ -81,13 +81,15 @@ def build_tree(radius=0.3, **kw):
     return tree, time.perf_counter() - t0
 
 
-def time_trace(packed, device, width, height, reps):
+def time_trace(packed, device, width, height, reps, cone: bool = True):
     packed = jax.tree.map(lambda x: jax.device_put(np.asarray(x), device),
                           packed)
     o, d = camera_rays((0.0, 0.0, -1.8), (0.0, 0.0, 0.0),
                        width=width, height=height)
     o = jax.device_put(np.asarray(o), device)
     d = jax.device_put(np.asarray(d), device)
+    from hpsdf_tpu.render import CONE_TILE
+    tiles = ((height, width, CONE_TILE) if cone else None)
 
     def traced(o, d):
         def body(i, acc):
@@ -95,7 +97,7 @@ def time_trace(packed, device, width, height, reps):
             # structure; magnitude well below a pixel footprint
             oj = o + (i.astype(jnp.float32) * 1e-6)
             t, hit, _ = _march(packed, oj, d, jnp.float32(T_MAX),
-                               1e-4, 200)
+                               1e-4, 200, cone_tiles=tiles)
             return acc + jnp.sum(t) + jnp.sum(hit)
         return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
 
@@ -110,7 +112,8 @@ def time_trace(packed, device, width, height, reps):
     assert np.isfinite(val)
     # hit fraction via one plain trace
     t, hit, _ = jax.jit(lambda o, d: _march(packed, o, d, jnp.float32(T_MAX),
-                                            1e-4, 200))(o, d)
+                                            1e-4, 200, cone_tiles=tiles))(
+                                                o, d)
     n_hit = float(jnp.mean(hit))
     return (width * height) / dt / 1e6, n_hit
 
@@ -144,12 +147,12 @@ def _gather_model_label(width_lanes: int) -> str:
 
 
 def trace_roofline(packed, device, width, height, secs_per_frame):
-    """Gather-bandwidth roofline of the march: per-chunk outer relocation
-    counts x (1 + extra_rounds) row gathers x row bytes, vs (a) the HBM
-    streaming peak and (b) the measured dynamic-gather path ceiling.
-    Rays are cost-sorted exactly as the timed path sorts them."""
+    """Gather-bandwidth roofline of the march under the round-5 prefix +
+    compaction schedule: (prefix rounds x full batch + tail chunk rounds)
+    x (1 + extra_rounds) row gathers x row bytes, vs (a) the HBM streaming
+    peak and (b) the measured dynamic-gather path ceiling."""
     from hpsdf_tpu.accel import LO_W
-    from hpsdf_tpu.render import _lo_of, _sorted_blocks
+    from hpsdf_tpu.render import SORT_BLOCK, _lo_of, _march_compacted
 
     o, d = camera_rays((0.0, 0.0, -1.8), (0.0, 0.0, 0.0),
                        width=width, height=height)
@@ -157,6 +160,7 @@ def trace_roofline(packed, device, width, height, secs_per_frame):
     o = jax.device_put(jnp.asarray(o, jnp.float32), device)
     d = jax.device_put(jnp.asarray(d, jnp.float32), device)
     pad = (-B) % MARCH_CHUNK
+    Bp = B + pad
 
     @jax.jit
     def rounds(o, d):
@@ -164,19 +168,18 @@ def trace_roofline(packed, device, width, height, secs_per_frame):
         d2 = jnp.concatenate(
             [d, jnp.tile(jnp.asarray([[0., 0., 1.]], jnp.float32),
                          (pad, 1))])
-        o2, d2, _ = _sorted_blocks(packed, o2, d2)
-        lo = _lo_of(packed)            # derived once, outside the chunk map
-        _, _, kk = jax.lax.map(
-            lambda od: _march_block(packed, od[0], od[1],
-                                    jnp.float32(T_MAX), 1e-4, 200, lo=lo),
-            (o2.reshape(-1, MARCH_CHUNK, 3), d2.reshape(-1, MARCH_CHUNK, 3)))
-        return kk
+        lo = _lo_of(packed)
+        _, _, _, aux = _march_compacted(packed, o2, d2, jnp.float32(T_MAX),
+                                        1e-4, 200, None, lo,
+                                        with_stats=True)
+        return aux
 
-    kk = np.asarray(rounds(o, d))                  # (chunks, 2) [lod, full]
-    k = kk.sum(axis=-1)
+    kk1, kk2, n_blk = jax.tree.map(np.asarray, rounds(o, d))
     rows_per_round = 1 + packed.extra_rounds       # grid row + descent rows
-    lod_rows = float(kk[:, 0].sum()) * MARCH_CHUNK * rows_per_round
-    full_rows = float(kk[:, 1].sum()) * MARCH_CHUNK * rows_per_round
+    lod_rounds = float(kk1[:, 0].sum() + kk2[:, 0].sum()) * MARCH_CHUNK
+    full_rounds = float(kk1[:, 1].sum() + kk2[:, 1].sum()) * MARCH_CHUNK
+    lod_rows = lod_rounds * rows_per_round
+    full_rows = full_rounds * rows_per_round
     gbytes = (lod_rows * LO_W + full_rows * packed.width) * 4 / 1e9
     achieved = gbytes / secs_per_frame
     # width-aware gather-path ceiling: time the measured per-row costs say
@@ -186,9 +189,12 @@ def trace_roofline(packed, device, width, height, secs_per_frame):
     path_gbps = gbytes / gather_floor_s if gather_floor_s else 0.0
     return dict(
         gather_model=_gather_model_label(packed.width),
-        outer_rounds_mean=round(float(k.mean()), 1),
-        lod_rounds_fraction=round(float(kk[:, 0].sum()) / max(k.sum(), 1),
-                                  3),
+        pass1_chunk_rounds=int(kk1.sum()),
+        tail_chunk_rounds=int(kk2.sum()),
+        active_blocks_after_pass1_fraction=round(
+            float(n_blk) / (Bp // SORT_BLOCK), 4),
+        lod_rounds_fraction=round(
+            lod_rounds / max(lod_rounds + full_rounds, 1), 3),
         row_width_lanes=packed.width,
         gather_gbytes_per_frame=round(gbytes, 3),
         achieved_gather_gbps=round(achieved, 1),

@@ -101,14 +101,14 @@ def main(refdefault=False):
     op, dp = pad_rays(pt, o, d, MARCH_CHUNK)
 
     def sort_only(o2, d2):
-        os_, ds_, perm = _sorted_blocks(pt, o2, d2)
+        os_, ds_, _, perm = _sorted_blocks(pt, o2, d2)
         t, hit = _unsort_blocks(perm, os_[:, 0], ds_[:, 0] > 0)
         return t
     b = timed(sort_only, (op, dp))
     print(f"B sort pipeline     {b*1e3:8.2f} ms", flush=True)
 
     # ---- C: march on pre-sorted rays (no sort in the timed path) ---------
-    os_np, ds_np, _ = jax.jit(lambda o2, d2: _sorted_blocks(pt, o2, d2))(
+    os_np, ds_np, _, _ = jax.jit(lambda o2, d2: _sorted_blocks(pt, o2, d2))(
         op, dp)
     os_np = jax.device_put(np.asarray(os_np), dev)
     ds_np = jax.device_put(np.asarray(ds_np), dev)

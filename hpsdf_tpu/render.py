@@ -173,6 +173,99 @@ def _inner_steps_for(pt: PackedTree) -> int:
     return INNER_STEPS_DEEP
 
 
+# --------------------------------------------------------------------------
+# Cone prepass (hierarchical sphere tracing)
+# --------------------------------------------------------------------------
+#
+# One coarse ray per TxT pixel tile marches the CONSERVATIVE cone field
+# f(p_c(t)) - (do + t*dd), where do/dd bound the origin/direction spread of
+# the tile's rays around the coarse ray: while that margin stays above
+# hit_eps, NO ray of the tile can be within hit_eps of the surface at
+# parameter t, so every fine ray may START at the first contact parameter
+# (or skip to its exit when the whole cone escapes the domain). Fine rays
+# therefore skip the far-field entirely: background tiles cost 1/T^2 of
+# their former march and surface tiles start the fine march at the
+# surface. Guarantees rest on the same |grad f| <= ~1 trust the plain
+# march's 0.95 step factor already assumes (reference: Octree.cpp:739);
+# the t-Lipschitz constant of the margin is (1 + dd), which the cone step
+# divides out.
+
+CONE_TILE = 4
+
+
+def _cone_march(pt: PackedTree, lo, oc, dc, do, dd, t_max, hit_eps,
+                max_steps):
+    """March coarse rays against the cone margin; all f32, plain
+    (non-relaxed) stepping, one row gather per step. Returns t_stop (Bc,):
+    the first sample with margin < hit_eps (cone contact -- fine rays
+    resume there), or t_max + 1 when the cone provably escapes."""
+    half = 0.5 * jnp.asarray(pt.root_sizes, jnp.float32)
+    rc = jnp.asarray(pt.root_centre, jnp.float32)
+    t_near, t_far, hits_box = intersect_aabb(oc, dc, rc - half, rc + half)
+    t = jnp.maximum(t_near, 0.0)
+    t_end = jnp.minimum(t_far, t_max)
+    escape = jnp.float32(t_max) + 1.0
+    active = hits_box & (t <= t_end)
+    t = jnp.where(active, t, escape)
+    uo = accel.to_unit(pt, oc)
+    udir = dc * jnp.asarray(1.0 / np.asarray(pt.root_sizes), jnp.float32)
+    inv_lip = 1.0 / (1.0 + dd)            # t-Lipschitz of the margin
+
+    def cond(s):
+        return jnp.logical_and(jnp.any(s[1]), s[2] < max_steps)
+
+    def body(s):
+        t, active, k = s
+        unit = jnp.clip(uo + t[..., None] * udir, -0.5, 0.5)
+        if lo is not None:
+            row = accel.locate_in(lo[0], lo[1], pt.grid_depth,
+                                  pt.extra_rounds, unit)
+            local = (unit - row[..., 2:5]) * row[..., 1:2]
+            v_lo, err = _eval_lo(row, local)
+            v = v_lo - err                # conservative lower bound on f
+        else:
+            row = accel.locate(pt, unit)
+            local = (unit - row[..., 2:5]) * row[..., 1:2]
+            v = _eval_local(pt, row, local)
+        margin = v - (do + t * dd)
+        contact = active & (margin < hit_eps)
+        adv = (STEP_SCALE * margin) * inv_lip + MIN_STEP
+        escaped = active & ~contact & (t + adv > t_end)
+        t_new = jnp.where(active & ~contact, t + adv, t)
+        t_new = jnp.where(escaped, escape, t_new)
+        return t_new, active & ~contact & ~escaped, k + 1
+
+    t, _, _ = jax.lax.while_loop(cond, body, (t, active, jnp.int32(0)))
+    return t
+
+
+def cone_start(pt: PackedTree, origins, dirs, t_max, hit_eps, tiles,
+               lo=None, max_steps: int = MAX_STEPS):
+    """Per-ray conservative march starting parameters from a TxT-tile cone
+    prepass. ``tiles`` = (H, W, T) with H*W == len(origins) (row-major ray
+    grid); rays of each tile must be spatially coherent for the prepass to
+    pay off (it is CORRECT regardless -- an incoherent tile just gets a
+    huge cone that stops immediately)."""
+    H, W, T = tiles
+    o4 = origins.reshape(H // T, T, W // T, T, 3)
+    d4 = dirs.reshape(H // T, T, W // T, T, 3)
+    oc = o4[:, T // 2, :, T // 2]
+    dc = d4[:, T // 2, :, T // 2]
+    # ||d_f - d_c|| >= the angle between them (chord >= ... for unit dirs
+    # 2 sin(th/2) <= th); using the chord directly over-bounds the spatial
+    # deviation ||p_f(t) - p_c(t)|| <= do + t*dd exactly (triangle ineq.)
+    do = jnp.sqrt(jnp.max(jnp.sum(
+        (o4 - oc[:, None, :, None]) ** 2, axis=-1), axis=(1, 3)))
+    dd = jnp.sqrt(jnp.max(jnp.sum(
+        (d4 - dc[:, None, :, None]) ** 2, axis=-1), axis=(1, 3)))
+    t_stop = _cone_march(pt, lo, oc.reshape(-1, 3), dc.reshape(-1, 3),
+                         do.reshape(-1), dd.reshape(-1), t_max, hit_eps,
+                         max_steps)
+    t0 = jnp.broadcast_to(
+        t_stop.reshape(H // T, 1, W // T, 1), (H // T, T, W // T, T))
+    return t0.reshape(-1)
+
+
 # Rays per independently-terminating chunk. One monolithic while_loop runs
 # every lane until the WORST ray finishes; marching camera-coherent chunks
 # through lax.map lets finished tiles stop early. Swept on v5e at 1024^2
@@ -182,21 +275,28 @@ def _inner_steps_for(pt: PackedTree) -> int:
 MARCH_CHUNK = 8192
 
 
-def _march_key(pt: PackedTree, origins, dirs):
-    """March-cost proxy for ray sorting: |f| at the root-AABB entry point.
+def _march_key(pt: PackedTree, origins, dirs, t_start=None):
+    """March-cost proxy for ray sorting: |f| at the march starting point
+    (the root-AABB entry, or the cone-prepass resume parameter).
 
     A chunk's while_loop runs until its SLOWEST lane finishes, so mixing a
     silhouette-grazing ray (hundreds of small steps) into a chunk of cheap
-    rays wastes the whole chunk's remaining slots. |f| at entry predicts
-    cost well: near-surface entries are the expensive rays. Rays missing
-    the root AABB sort to the tail (+inf) where whole chunks terminate
-    immediately. Measured on v5e at 1024^2 rays: 2.4x (5.5 -> 13.3
-    Mrays/s), including the key eval + argsort + permutation gathers.
+    rays wastes the whole chunk's remaining slots. |f| at the start
+    predicts cost well: near-surface starts are the expensive rays. Rays
+    missing the root AABB -- or whose cone provably escaped -- sort to the
+    tail (+inf) where whole chunks terminate immediately. Measured on v5e
+    at 1024^2 rays: 2.4x (5.5 -> 13.3 Mrays/s), including the key eval +
+    argsort + permutation gathers.
     """
     half = 0.5 * jnp.asarray(pt.root_sizes, jnp.float32)
     rc = jnp.asarray(pt.root_centre, jnp.float32)
-    t_near, _, hits_box = intersect_aabb(origins, dirs, rc - half, rc + half)
-    p = origins + jnp.maximum(t_near, 0.0)[..., None] * dirs
+    t_near, t_far, hits_box = intersect_aabb(origins, dirs, rc - half,
+                                             rc + half)
+    t0 = jnp.maximum(t_near, 0.0)
+    if t_start is not None:
+        t0 = jnp.maximum(t0, t_start)
+        hits_box = hits_box & (t0 <= t_far)
+    p = origins + jnp.minimum(t0, t_far)[..., None] * dirs
     v = accel.values_at(pt, p)
     return jnp.where(hits_box, jnp.abs(v), jnp.inf)
 
@@ -212,21 +312,27 @@ def _march_key(pt: PackedTree, origins, dirs):
 SORT_BLOCK = 8
 
 
-def _sorted_blocks(pt: PackedTree, origins, dirs):
+def _sorted_blocks(pt: PackedTree, origins, dirs, t_start=None):
     """Cost-sort rays at SORT_BLOCK granularity. origins/dirs length must be
     a multiple of SORT_BLOCK (callers pad to MARCH_CHUNK first). Returns
-    (origins_sorted, dirs_sorted, block_perm)."""
+    (origins_sorted, dirs_sorted, t_start_sorted_or_None, block_perm)."""
     nb = origins.shape[0] // SORT_BLOCK
-    key = _march_key(pt, origins[::SORT_BLOCK], dirs[::SORT_BLOCK])
+    key = _march_key(pt, origins[::SORT_BLOCK], dirs[::SORT_BLOCK],
+                     None if t_start is None else t_start[::SORT_BLOCK])
     perm = jnp.argsort(key)
-    rows = jnp.concatenate(
-        [origins.reshape(nb, 3 * SORT_BLOCK),
-         dirs.reshape(nb, 3 * SORT_BLOCK)], axis=1)
+    parts = [origins.reshape(nb, 3 * SORT_BLOCK),
+             dirs.reshape(nb, 3 * SORT_BLOCK)]
+    if t_start is not None:
+        parts.append(t_start.reshape(nb, SORT_BLOCK))
+    rows = jnp.concatenate(parts, axis=1)
     # the barrier keeps the permutation ONE wide row gather (XLA would push
     # the slices below into it, splitting it into narrow gathers; accel.py)
     rows = jax.lax.optimization_barrier(rows[perm])
+    ts = (rows[:, 6 * SORT_BLOCK:].reshape(-1)
+          if t_start is not None else None)
     return (rows[:, :3 * SORT_BLOCK].reshape(-1, 3),
-            rows[:, 3 * SORT_BLOCK:].reshape(-1, 3), perm)
+            rows[:, 3 * SORT_BLOCK: 6 * SORT_BLOCK].reshape(-1, 3), ts,
+            perm)
 
 
 def _unsort_blocks(perm, t, hit):
@@ -248,8 +354,118 @@ def _unsort_blocks(perm, t, hit):
             out[:, SORT_BLOCK:].reshape(-1) > jnp.float32(0.5))
 
 
+# Pass-1 outer-round cap per chunk for the compaction schedule
+# (_march_compacted): cost-sorted chunks march while_loops capped at this
+# many relocation rounds per phase, then still-active SORT_BLOCK blocks are
+# compacted to the front (stable sort preserves the cost order) and
+# finished in uncapped tail chunks. The cap bounds the divergence waste of
+# pass 1 (a chunk's cheap lanes freeze only until the cap, not until its
+# slowest grazing ray terminates -- measured occupancy 0.45 uncapped); the
+# recompaction packs the few surviving silhouette lanes densely. Swept on
+# v5e headline 1024^2 (round 5): see BENCH_r05.
+PASS1_CAP = 16
+_STATE_F = 14            # packed state lanes per ray: o3 d3 t hit p1 p2
+#                          nsteps relax adv vp
+
+
+def _pack_state(origins, dirs, t, hit, p1, p2, nsteps, relax, adv, vp, nb):
+    S = SORT_BLOCK
+
+    def b32(x):
+        return x.astype(jnp.float32).reshape(nb, S)
+
+    return jnp.concatenate(
+        [origins.reshape(nb, 3 * S), dirs.reshape(nb, 3 * S),
+         b32(t), b32(hit), b32(p1), b32(p2), b32(nsteps), b32(relax),
+         b32(adv), b32(vp)], axis=1)               # (nb, _STATE_F * S)
+
+
+def _unpack_state(r):
+    S = SORT_BLOCK
+    o = r[:, : 3 * S].reshape(-1, 3)
+    d = r[:, 3 * S: 6 * S].reshape(-1, 3)
+    c = [r[:, (6 + i) * S: (7 + i) * S].reshape(-1) for i in range(8)]
+    init = (c[0], c[1] > 0.5, c[2] > 0.5, c[3] > 0.5,
+            c[4].astype(jnp.int32), c[5] > 0.5, c[6], c[7])
+    return o, d, init
+
+
+def _march_compacted(pt: PackedTree, origins, dirs, t_max, hit_eps,
+                     max_steps, step_cap, lo, with_stats: bool = False):
+    """Cost-sorted capped chunks + survivor compaction + uncapped tails.
+
+    The round-5 march budget (experiments/march_budget.py) split the 67 ms
+    headline frame into a 28 ms sort pipeline (11 ms of it an unsort
+    scatter, since replaced by argsort) and a 42 ms chunked march at 0.45
+    active-lane occupancy: chunks run to their SLOWEST lane, so ~55% of the
+    gathered rows fed frozen lanes -- concentrated in the few chunks that
+    own grazing silhouette rays (round distribution p50 4 / p90 13 /
+    max 178). This schedule bounds that waste:
+
+      1. cost-sort ray blocks by |f| at the root-entry point (_march_key,
+         unchanged -- an activity-only tail order re-couples grazing lanes
+         with near-finished ones and collapses to the unsorted march's
+         4.8-6.3 Mrays/s, measured round 5);
+      2. pass 1: chunked march capped at PASS1_CAP relocation rounds per
+         phase -- cheap chunks terminate normally, expensive ones suspend
+         with their full per-lane state (pending Keinert rollback data
+         included, so the no-skipped-crossing guarantee survives);
+      3. still-active blocks compact to the front (binary key, stable
+         sort: survivors KEEP their cost order) and finish in uncapped
+         chunks; finished chunks exit at the first cond check;
+      4. one composed unsort returns (t, hit) to ray order.
+
+    origins/dirs must already be padded to a MARCH_CHUNK multiple."""
+    B = origins.shape[0]
+    S = SORT_BLOCK
+    nb = B // S
+    chunk_nb = MARCH_CHUNK // S
+    origins, dirs, _, perm1 = _sorted_blocks(pt, origins, dirs)
+
+    cap = (PASS1_CAP, PASS1_CAP)
+
+    def run1(od):
+        return _march_block(pt, od[0], od[1], t_max, hit_eps, max_steps,
+                            step_cap, lo=lo, outer_cap=cap,
+                            return_state=True)
+
+    _, _, kk1, st = jax.lax.map(        # t/hit travel inside the state
+        run1, (origins.reshape(-1, MARCH_CHUNK, 3),
+               dirs.reshape(-1, MARCH_CHUNK, 3)))
+    t, hit, p1, p2, nsteps, relax, adv, vp = (x.reshape(-1) for x in st)
+    active = p1 | p2
+    blk_active = jnp.any(active.reshape(nb, S), axis=1)
+    key = jnp.where(blk_active, jnp.uint16(0), jnp.uint16(1))
+    perm2 = jax.lax.sort_key_val(key, jnp.arange(nb, dtype=jnp.int32))[1]
+    rows = _pack_state(origins, dirs, t, hit, p1, p2, nsteps, relax, adv,
+                       vp, nb)
+    rows = jax.lax.optimization_barrier(rows[perm2])
+
+    def run2(r):
+        o, d, init = _unpack_state(r)
+        return _march_block(pt, o, d, t_max, hit_eps, max_steps, step_cap,
+                            lo=lo, init=init)
+
+    t2, hit2, kk2 = jax.lax.map(run2, rows.reshape(-1, chunk_nb,
+                                                   _STATE_F * S))
+    # one composed unsort: original block b sits at position
+    # inv2[inv1[b]] of the pass-2 output
+    inv = jnp.argsort(perm1[perm2])
+    out_rows = jnp.concatenate(
+        [t2.reshape(nb, S), hit2.reshape(nb, S).astype(jnp.float32)],
+        axis=1)
+    out = jax.lax.optimization_barrier(out_rows[inv])
+    t_f = out[:, :S].reshape(-1)
+    hit_f = out[:, S:].reshape(-1) > jnp.float32(0.5)
+    steps = (jnp.max(jnp.sum(kk1, axis=-1))
+             + jnp.max(jnp.sum(kk2, axis=-1)))
+    if with_stats:
+        return t_f, hit_f, steps, (kk1, kk2, jnp.sum(blk_active))
+    return t_f, hit_f, steps
+
+
 def _march(pt: PackedTree, origins, dirs, t_max, hit_eps, max_steps,
-           step_cap=None, sort_rays: bool | None = None):
+           step_cap=None, sort_rays=None, cone_tiles=None):
     """Chunked two-level march over a ray batch; all f32.
 
     ``step_cap`` bounds the per-step advance. Sphere tracing assumes f is
@@ -258,22 +474,33 @@ def _march(pt: PackedTree, origins, dirs, t_max, hit_eps, max_steps,
     the uncapped march steps straight over the surface. A cap of the order
     of the crossing-band width restores robustness at bounded extra steps.
 
-    ``sort_rays`` (default: on whenever the batch spans multiple chunks)
-    orders SORT_BLOCK-sized ray blocks by _march_key so each chunk's lanes
-    have similar cost.
+    ``cone_tiles`` = (H, W, T): run the conservative cone prepass
+    (cone_start) over TxT pixel tiles and start every fine ray at its
+    tile's cone contact (or skip it when the cone escapes). Requires the
+    ray batch to be a row-major H x W grid.
+
+    Multi-chunk batches default to cost-sorted chunks (``sort_rays=None``
+    == ``True``); ``False`` selects plain raster chunks and
+    ``"compact"`` the capped-pass + survivor-compaction schedule (kept for
+    the record: it measured 17.9 Mrays/s vs the cost-sorted 18.9 on the
+    round-5 headline -- the recompaction's sort/permute ops cost more than
+    the frozen-lane gathers they save). Per-ray results are identical
+    across schedules (lanes only share termination, never arithmetic).
     """
     B = origins.shape[0]
     lo = _lo_of(pt)
+    t_start = None
+    if cone_tiles is not None:
+        t_start = cone_start(pt, origins, dirs, t_max, hit_eps, cone_tiles,
+                             lo=lo, max_steps=max_steps)
     if B <= MARCH_CHUNK:
         t, hit, kk = _march_block(pt, origins, dirs, t_max, hit_eps,
-                                  max_steps, step_cap, lo=lo)
+                                  max_steps, step_cap, lo=lo,
+                                  t_start=t_start)
         return t, hit, jnp.sum(kk)
-    if sort_rays is None:
-        sort_rays = True
     pad = (-B) % MARCH_CHUNK
     if pad:
         # padded rays point along +z from beyond the root AABB: never active
-        # (and their sort key is +inf, so whole padded chunks stop instantly)
         far = jnp.asarray(pt.root_centre, jnp.float32) + jnp.asarray(
             pt.root_sizes, jnp.float32) * jnp.float32(10.0)
         origins = jnp.concatenate(
@@ -282,15 +509,30 @@ def _march(pt: PackedTree, origins, dirs, t_max, hit_eps, max_steps,
             [dirs, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0],
                                                 jnp.float32), (pad, 3))],
             axis=0)
+        if t_start is not None:
+            t_start = jnp.concatenate(
+                [t_start, jnp.zeros(pad, jnp.float32)])
+    if sort_rays == "compact":
+        t, hit, steps = _march_compacted(pt, origins, dirs, t_max, hit_eps,
+                                         max_steps, step_cap, lo)
+        return t[:B], hit[:B], steps
     perm = None
-    if sort_rays:
-        origins, dirs, perm = _sorted_blocks(pt, origins, dirs)
+    if sort_rays is None or sort_rays is True:
+        origins, dirs, t_start, perm = _sorted_blocks(pt, origins, dirs,
+                                                      t_start)
     oc = origins.reshape(-1, MARCH_CHUNK, 3)
     dc = dirs.reshape(-1, MARCH_CHUNK, 3)
-    t, hit, kk = jax.lax.map(
-        lambda od: _march_block(pt, od[0], od[1], t_max, hit_eps, max_steps,
-                                step_cap, lo=lo),
-        (oc, dc))
+    if t_start is None:
+        t, hit, kk = jax.lax.map(
+            lambda od: _march_block(pt, od[0], od[1], t_max, hit_eps,
+                                    max_steps, step_cap, lo=lo),
+            (oc, dc))
+    else:
+        t, hit, kk = jax.lax.map(
+            lambda od: _march_block(pt, od[0], od[1], t_max, hit_eps,
+                                    max_steps, step_cap, lo=lo,
+                                    t_start=od[2]),
+            (oc, dc, t_start.reshape(-1, MARCH_CHUNK)))
     t = t.reshape(-1)
     hit = hit.reshape(-1)
     if perm is not None:
@@ -316,12 +558,30 @@ LOD_HANDOFF = 8.0
 
 def _march_block(pt: PackedTree, origins, dirs, t_max, hit_eps, max_steps,
                  step_cap=None, omega: float = OMEGA, lo=None,
-                 with_stats: bool = False):
+                 with_stats: bool = False, init=None, outer_cap=None,
+                 return_state: bool = False, t_start=None):
     """Two-level while_loop march over one ray chunk; all f32. Returns
     (t, hit, k) with k = i32[2]: [LOD-phase, full-phase] outer relocation
     rounds (k[0] = 0 when ``lo`` is None). ``with_stats`` appends the
     per-lane executed step counts (i32[B]) -- the frozen-lane occupancy
     numerator of the march time budget (experiments/march_budget.py).
+
+    ``outer_cap`` = (cap_lo, cap_full) bounds the LOD-phase / full-phase
+    outer relocation rounds (None = max_steps, i.e. uncapped); lanes still
+    active at a cap are reported in the returned state instead of being
+    marched to completion. A cap_full of 0 skips the full phase entirely.
+    ``init`` resumes from a state tuple previously returned with
+    ``return_state=True``:
+
+        state = (t, hit, p1_active, p2_active, nsteps, relax, adv_p, v_p)
+
+    where p1_active lanes resume the LOD phase and p2_active lanes the
+    full phase, each with its carried relaxation state (a pending relaxed
+    step's rollback data survives the suspension, so the Keinert
+    no-skipped-crossing guarantee is preserved across resume). This is the
+    primitive behind the round-5 march schedule: a capped prefix over the
+    whole batch, activity compaction, then chunked resumed tails
+    (_march_compacted).
 
     ``omega`` > 1 enables over-relaxed stepping: lanes advance by
     ``omega * (STEP_SCALE*v + MIN_STEP)`` while the step spheres of
@@ -357,16 +617,37 @@ def _march_block(pt: PackedTree, origins, dirs, t_max, hit_eps, max_steps,
     rc = jnp.asarray(pt.root_centre, jnp.float32)
     t_near, t_far, hits_box = intersect_aabb(origins, dirs, rc - half,
                                              rc + half)
-    # Clamp the start to the AABB entry point (reference: Octree.cpp:714-721).
-    t = jnp.maximum(t_near, 0.0)
+    # Exit plane is a pure function of (origins, dirs): recomputed
+    # identically on resume.
     t_end = jnp.minimum(t_far, t_max)
-    active0 = hits_box & (t <= t_end)
-    hit0 = jnp.zeros_like(active0)
-    nsteps0 = jnp.zeros(t.shape, jnp.int32)
-    relax0 = jnp.full(t.shape, relax_on)
-    # pending relaxed step: the amount the lane last advanced (0 = none)
-    adv0 = jnp.zeros(t.shape, jnp.float32)
-    vprev0 = jnp.zeros(t.shape, jnp.float32)
+    if init is None:
+        # Clamp the start to the AABB entry (reference: Octree.cpp:714-721),
+        # or to the cone-prepass resume parameter (cone_start) -- rays whose
+        # cone escaped carry t_start > t_end and deactivate immediately.
+        t = jnp.maximum(t_near, 0.0)
+        if t_start is not None:
+            t = jnp.maximum(t, t_start)
+        active0 = hits_box & (t <= t_end)
+        hit0 = jnp.zeros_like(active0)
+        nsteps0 = jnp.zeros(t.shape, jnp.int32)
+        relax0 = jnp.full(t.shape, relax_on)
+        # pending relaxed step: the amount the lane last advanced (0 = none)
+        adv0 = jnp.zeros(t.shape, jnp.float32)
+        vprev0 = jnp.zeros(t.shape, jnp.float32)
+        p1_in = active0 if lo is not None else jnp.zeros_like(active0)
+        p2_in = active0 if lo is None else jnp.zeros_like(active0)
+    else:
+        t, hit0, p1_in, p2_in, nsteps0, relax0, adv0, vprev0 = init
+        active0 = p1_in | p2_in
+    cap_lo, cap_full = (outer_cap if outer_cap is not None
+                        else (max_steps, max_steps))
+    cap_lo = max_steps if cap_lo is None else cap_lo
+    cap_full = max_steps if cap_full is None else cap_full
+    # leftover LOD-phase lanes at an uncapped phase boundary fold into the
+    # full phase (the while exits with none active anyway, except at the
+    # max_steps edge where the original semantics also merged them);
+    # capped runs keep them in phase 1 for the resume instead
+    merge_leftovers = cap_lo >= max_steps
     max_outer = max_steps          # safe cap: one relocation per step worst case
     k_lo = jnp.int32(0)
     # unit-space ray parametrization: unit(t) = uo + t * udir replaces the
@@ -374,6 +655,8 @@ def _march_block(pt: PackedTree, origins, dirs, t_max, hit_eps, max_steps,
     uo = accel.to_unit(pt, origins)
     udir = dirs * jnp.asarray(1.0 / np.asarray(pt.root_sizes), jnp.float32)
 
+    p1_left = jnp.zeros_like(active0)
+    relax2, adv2, vprev2 = relax0, adv0, vprev0
     if lo is not None:
         lo_grid, lo_rows = lo
         handoff = jnp.float32(LOD_HANDOFF) * jnp.float32(hit_eps)
@@ -381,7 +664,8 @@ def _march_block(pt: PackedTree, origins, dirs, t_max, hit_eps, max_steps,
         def cond1(state):
             active = state[1]
             k = state[-1]
-            return jnp.logical_and(jnp.any(active), k < max_outer)
+            return jnp.logical_and(jnp.any(active),
+                                   k < min(cap_lo, max_outer))
 
         def outer1(state):
             t, active, nsteps, relax, adv_p, v_p, need_full, k = state
@@ -438,18 +722,31 @@ def _march_block(pt: PackedTree, origins, dirs, t_max, hit_eps, max_steps,
                     unroll=True))
             return t, active, nsteps, relax, adv_p, v_p, need_full, k + 1
 
-        (t, act1, nsteps0, _, _, _, need_full, k_lo) = jax.lax.while_loop(
-            cond1, outer1,
-            (t, active0, nsteps0, relax0, adv0, vprev0,
-             jnp.zeros_like(active0), jnp.int32(0)))
-        # lanes that handed off (or ran out of outer budget) continue on the
-        # full rows with fresh relaxation state
-        active0 = act1 | need_full
+        (t, act1, nsteps0, relax1, adv1, vp1, need_full, k_lo) = \
+            jax.lax.while_loop(
+                cond1, outer1,
+                (t, p1_in, nsteps0, relax0, adv0, vprev0,
+                 p2_in, jnp.int32(0)))
+        # lanes that handed off continue on the full rows with FRESH
+        # relaxation state (their pending step was validated by the overlap
+        # test at hand-off); lanes resumed mid-full-phase (p2_in) keep
+        # their carried state; capped leftovers stay in phase 1
+        if merge_leftovers:
+            active0 = act1 | need_full
+            p1_left = jnp.zeros_like(act1)
+        else:
+            active0 = need_full
+            p1_left = act1         # suspended; phase-1 relax state merged
+            #                        back into the returned state below
+        relax2 = jnp.where(p2_in, relax0, jnp.full(t.shape, relax_on))
+        adv2 = jnp.where(p2_in, adv0, jnp.float32(0.0))
+        vprev2 = jnp.where(p2_in, vprev0, jnp.float32(0.0))
 
     def cond(state):
         active = state[2]
         k = state[-1]
-        return jnp.logical_and(jnp.any(active), k < max_outer)
+        return jnp.logical_and(jnp.any(active),
+                               k < min(cap_full, max_outer))
 
     def outer(state):
         t, hit, active, nsteps, relax, adv_p, v_p, k = state
@@ -511,12 +808,25 @@ def _march_block(pt: PackedTree, origins, dirs, t_max, hit_eps, max_steps,
             (t, hit, active, nsteps, relax, adv_p, v_p), unroll=True)
         return t, hit, active, nsteps, relax, adv_p, v_p, k + 1
 
-    t, hit, _, nsteps, _, _, _, k = jax.lax.while_loop(
-        cond, outer, (t, hit0, active0, nsteps0, relax0, adv0, vprev0,
-                      jnp.int32(0)))
+    if cap_full > 0:
+        t, hit, act2, nsteps1, relaxF, advF, vpF, k = jax.lax.while_loop(
+            cond, outer, (t, hit0, active0, nsteps0, relax2, adv2, vprev2,
+                          jnp.int32(0)))
+    else:                          # full phase skipped (LOD-only prefix)
+        hit, act2, nsteps1, k = hit0, active0, nsteps0, jnp.int32(0)
+        relaxF, advF, vpF = relax2, adv2, vprev2
+    kk = jnp.stack([k_lo, k])
+    outs = (t, hit, kk)
     if with_stats:
-        return t, hit, jnp.stack([k_lo, k]), nsteps
-    return t, hit, jnp.stack([k_lo, k])
+        outs = outs + (nsteps1,)
+    if return_state:
+        if lo is not None and not merge_leftovers:
+            # suspended phase-1 lanes carry their phase-1 relax state
+            relaxF = jnp.where(p1_left, relax1, relaxF)
+            advF = jnp.where(p1_left, adv1, advF)
+            vpF = jnp.where(p1_left, vp1, vpF)
+        outs = outs + ((t, hit, p1_left, act2, nsteps1, relaxF, advF, vpF),)
+    return outs
 
 
 # --------------------------------------------------------------------------
@@ -547,9 +857,10 @@ def _trace_core(static, rows, grid, child_idx, centre, depth, coeffs,
     hit_eps, max_steps = static[4:6]
     step_cap = static[9] if len(static) > 9 else None
     sort_rays = static[10] if len(static) > 10 else None
+    cone_tiles = static[11] if len(static) > 11 else None
     pt = _rebuild_packed(static, rows, grid)
     return _march(pt, origins, dirs, t_max, hit_eps, max_steps, step_cap,
-                  sort_rays)
+                  sort_rays, cone_tiles)
 
 
 def _trace_fwd(static, rows, grid, child_idx, centre, depth, coeffs,
@@ -598,14 +909,15 @@ _trace_core.defvjp(_trace_fwd, _trace_bwd)
 
 
 def _static_of(tree32: Octree, pt: PackedTree, hit_eps, max_steps,
-               step_cap=None, sort_rays=None):
+               step_cap=None, sort_rays=None, cone_tiles=None):
     pmeta = _HashableMeta(dict(
         deg_used=pt.deg_used, grid_depth=pt.grid_depth,
         extra_rounds=pt.extra_rounds, root_centre=pt.root_centre,
         root_sizes=pt.root_sizes))
     return (tree32.n_nodes, tree32.deg_used, tree32.depth_used, tree32.config,
             hit_eps, max_steps, pmeta,
-            tuple(pt.rows.shape), tuple(pt.grid.shape), step_cap, sort_rays)
+            tuple(pt.rows.shape), tuple(pt.grid.shape), step_cap, sort_rays,
+            cone_tiles)
 
 
 class _HashableMeta:
@@ -634,7 +946,8 @@ def trace(tree: Octree, origins: jax.Array, dirs: jax.Array,
           max_steps: int = MAX_STEPS,
           packed: PackedTree | None = None,
           step_cap: float | None = None,
-          sort_rays: bool | None = None) -> TraceResult:
+          sort_rays: bool | None = None,
+          cone_tiles: tuple | None = None) -> TraceResult:
     """Sphere-trace a ray batch against the fitted octree.
 
     origins, dirs: (B, 3) world-space (dirs should be unit-norm). Returns
@@ -643,7 +956,9 @@ def trace(tree: Octree, origins: jax.Array, dirs: jax.Array,
     when tracing repeatedly -- building it per call costs a host round trip.
     ``sort_rays`` (default: on for multi-chunk batches) groups rays into
     march chunks by expected cost; per-ray results are identical either way
-    (lanes only share termination, not arithmetic).
+    (lanes only share termination, not arithmetic). ``cone_tiles`` =
+    (H, W, T): enable the conservative cone prepass (see cone_start) for
+    row-major H x W ray grids -- render() passes this automatically.
 
     Batched equivalent of Octree::QueryRay (Source/HP/Octree.cpp:705-746).
     """
@@ -653,7 +968,8 @@ def trace(tree: Octree, origins: jax.Array, dirs: jax.Array,
     origins = jnp.asarray(origins, jnp.float32)
     dirs = jnp.asarray(dirs, jnp.float32)
     t, hit, steps = _trace_core(
-        _static_of(tree32, packed, hit_eps, max_steps, step_cap, sort_rays),
+        _static_of(tree32, packed, hit_eps, max_steps, step_cap, sort_rays,
+                   cone_tiles),
         packed.rows, packed.grid, tree32.child_idx, tree32.centre,
         tree32.depth, tree32.coeffs, origins, dirs, jnp.float32(t_max))
     return TraceResult(t, hit, steps)
@@ -707,7 +1023,10 @@ def _normals_at(pt: PackedTree, p: jax.Array) -> jax.Array:
 @functools.partial(jax.jit, static_argnames=("width", "height", "max_steps"))
 def _render_impl(pt: PackedTree, origins, dirs, t_max, width, height,
                  max_steps):
-    t, hit, _ = _march(pt, origins, dirs, t_max, HIT_EPS, max_steps)
+    tiles = ((height, width, CONE_TILE)
+             if height % CONE_TILE == 0 and width % CONE_TILE == 0 else None)
+    t, hit, _ = _march(pt, origins, dirs, t_max, HIT_EPS, max_steps,
+                       cone_tiles=tiles)
     p = origins + t[..., None] * dirs
     normals = _normals_at(pt, p)
     # headlight Lambertian + small ambient
