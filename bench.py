@@ -541,6 +541,114 @@ def run_suite():
     return results
 
 
+def run_nodeshard():
+    """Node-sharded vs replicated query THROUGHPUT at a real 2.4M-node
+    tree on the 8-virtual-device CPU mesh (round-4 verdict item 8: the
+    memory analysis existed, the cost side was never timed). Writes
+    NODESHARD_r05.json. Run with
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 HPSDF_PLATFORM=cpu.
+    """
+    from hpsdf_tpu import consts, parallel
+    from hpsdf_tpu.query import query as query_fn
+    from hpsdf_tpu.tree import Octree
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    assert len(jax.devices()) >= 8, "needs the 8-virtual-device CPU mesh"
+    DEPTH = 7
+    n_total = (8 ** (DEPTH + 1) - 1) // 7
+    N = -(-n_total // 8) * 8
+    cw = consts.coeff_count(2)
+    rng = np.random.default_rng(0)
+
+    # complete-octree topology in BFS level order: level l starts at
+    # s_l = (8^l - 1)/7; node (s_l + j) has child block s_{l+1} + 8j
+    child = np.full(N, -1, np.int32)
+    depth = np.zeros(N, np.int32)
+    degree = np.full(N, -1, np.int32)
+    centre = np.zeros((N, 3), np.float64)
+    start = 0
+    for lvl in range(DEPTH + 1):
+        cnt = 8 ** lvl
+        nxt = start + cnt
+        if lvl < DEPTH:
+            child[start: start + cnt] = nxt + 8 * np.arange(cnt)
+        else:
+            degree[start: start + cnt] = 2
+        depth[start: start + cnt] = lvl
+        # centre from the node's octal path (digit d: x=bit0 y=bit1 z=bit2)
+        j = np.arange(cnt, dtype=np.int64)
+        c = np.zeros((cnt, 3))
+        jj = j.copy()
+        for lev in range(lvl, 0, -1):
+            digit = jj % 8
+            q = 2.0 ** -(lev + 1)
+            c[:, 0] += q * ((digit & 1) * 2 - 1)
+            c[:, 1] += q * (((digit >> 1) & 1) * 2 - 1)
+            c[:, 2] += q * (((digit >> 2) & 1) * 2 - 1)
+            jj //= 8
+        centre[start: start + cnt] = c
+        start = nxt
+    coeffs = np.zeros((N, cw))
+    leaf = degree >= 0
+    coeffs[leaf] = rng.normal(0, 0.01, (int(leaf.sum()), cw))
+
+    cfg = hp.Config(target_error=1e-4, continuity=False, max_depth=DEPTH,
+                    max_degree=2)
+    tree = Octree(child_idx=jnp.asarray(child), centre=jnp.asarray(centre),
+                  depth=jnp.asarray(depth), degree=jnp.asarray(degree),
+                  coeffs=jnp.asarray(coeffs), n_nodes=N, deg_used=2,
+                  depth_used=DEPTH, config=cfg)
+    mesh = parallel.make_mesh(node_parallel=8)
+    NPTS = 1 << 20
+    pts = rng.uniform(-0.5, 0.5, (NPTS, 3))
+
+    def timed_query(shard_nodes):
+        stree = parallel._shard_tree(tree, mesh, shard_nodes)
+        dpts = jax.device_put(pts, NamedSharding(
+            mesh, P(parallel.BATCH_AXIS, None)))
+        fn = jax.jit(query_fn)
+        jax.block_until_ready(fn(stree, dpts))
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(stree, dpts))
+            best = min(best, time.perf_counter() - t0)
+        comp = fn.lower(stree, dpts).compile()
+        txt = comp.as_text()
+        return best, {
+            "all_reduce": txt.count("all-reduce("),
+            "all_gather": txt.count("all-gather("),
+            "arg_mb": round(
+                comp.memory_analysis().argument_size_in_bytes / 1e6, 1),
+        }
+
+    t_rep, h_rep = timed_query(False)
+    t_shd, h_shd = timed_query(True)
+    result = {
+        "metric": "node_sharded_query_throughput_2p4m_nodes",
+        "value": round(NPTS / t_shd / 1e6, 3),
+        "unit": "Mqueries/s",
+        "device": "cpu x8 (virtual mesh)",
+        "detail": {
+            "nodes": int(N), "points": NPTS,
+            "replicated_mqps": round(NPTS / t_rep / 1e6, 3),
+            "sharded_over_replicated": round(t_rep / t_shd, 3),
+            "replicated_hlo": h_rep, "sharded_hlo": h_shd,
+            "note": "same query program, node/coefficient rows sharded "
+                    "over 8 devices (P('node')) vs replicated; the "
+                    "sharded layout trades ~(depth+1) batch-sized "
+                    "all-reduces per query batch for 1/8 per-device "
+                    "argument bytes (memory analysis in "
+                    "tests/test_parallel.py::test_node_sharded_memory_"
+                    "scales)",
+        },
+    }
+    print(json.dumps(result))
+    with open("NODESHARD_r05.json", "w") as fh:
+        json.dump(result, fh, indent=1)
+    return result
+
+
 def run_inverse_1080p():
     """Inverse rendering at 1080p ray count (BASELINE config #5): optimize
     a deformed sphere's coefficients against a 1920x1080 target depth map;
@@ -650,5 +758,7 @@ if __name__ == "__main__":
         run_suite()
     elif "--inverse" in sys.argv:
         run_inverse_1080p()
+    elif "--nodeshard" in sys.argv:
+        run_nodeshard()
     else:
         main()
