@@ -307,6 +307,22 @@ def program_counts() -> dict:
         return dict(_COUNTS)
 
 
+def wait_for_speculation(timeout: float = 600.0) -> None:
+    """Block until no speculative compiles are in flight. Benchmarks time
+    host-side phases (mesh/BVH construction) against an otherwise idle
+    host; a background compile thread still draining skews them (the
+    round-4 suite's BVH row read 13.5 s vs 4.6 s on an idle host)."""
+    import time as _time
+
+    deadline = _time.monotonic() + timeout
+    while _time.monotonic() < deadline:
+        with _SPEC_LOCK:
+            evs = list(_SPEC_INFLIGHT.values())
+        if not evs:
+            return
+        evs[0].wait(timeout=max(0.0, deadline - _time.monotonic()))
+
+
 class _FitCache:
     """Per-build view of the fused-fit program cache, keyed by
     (degree, prev_width, cell-block size).

@@ -190,14 +190,29 @@ def _inner_steps_for(pt: PackedTree) -> int:
 # the t-Lipschitz constant of the margin is (1 + dd), which the cone step
 # divides out.
 
-CONE_TILE = 4
+# Pixel-tile edge for the cone prepass (T x T fine rays per coarse ray).
+# v5e headline sweep (round 5): tile 4 17.5 / tile 8 22.2 / tile 16 21.4
+# Mrays/s -- tile 4's 65k coarse rays make the prepass itself too big,
+# tile 16's wider cones stop too far from the surface.
+CONE_TILE = 8
+# Cone-march round cap: a cone GRAZING the surface creeps exactly like a
+# grazing ray (margin ~ 2e-3 per step; measured 149 rounds / 21 ms
+# monolithic on the v5e headline) -- but suspending the cone early is
+# always safe (fine rays simply start at the capped parameter), so the
+# prepass is bounded to this many rounds.
+CONE_CAP = 24
+# Contact once the margin is within this fraction of the cone radius (or
+# hit_eps if larger): stopping EARLIER than strictly necessary is safe and
+# prevents the margin-creep regime where steps shrink to ~hit_eps.
+CONE_STOP_FRAC = 0.5
 
 
 def _cone_march(pt: PackedTree, lo, oc, dc, do, dd, t_max, hit_eps,
                 max_steps):
     """March coarse rays against the cone margin; all f32, plain
-    (non-relaxed) stepping, one row gather per step. Returns t_stop (Bc,):
-    the first sample with margin < hit_eps (cone contact -- fine rays
+    (non-relaxed) stepping, one row gather per step, capped at CONE_CAP
+    rounds. Returns t_stop (Bc,): the first sample with margin below
+    max(hit_eps, CONE_STOP_FRAC * cone radius) or the cap (fine rays
     resume there), or t_max + 1 when the cone provably escapes."""
     half = 0.5 * jnp.asarray(pt.root_sizes, jnp.float32)
     rc = jnp.asarray(pt.root_centre, jnp.float32)
@@ -212,7 +227,8 @@ def _cone_march(pt: PackedTree, lo, oc, dc, do, dd, t_max, hit_eps,
     inv_lip = 1.0 / (1.0 + dd)            # t-Lipschitz of the margin
 
     def cond(s):
-        return jnp.logical_and(jnp.any(s[1]), s[2] < max_steps)
+        return jnp.logical_and(jnp.any(s[1]),
+                               s[2] < min(CONE_CAP, max_steps))
 
     def body(s):
         t, active, k = s
@@ -227,43 +243,52 @@ def _cone_march(pt: PackedTree, lo, oc, dc, do, dd, t_max, hit_eps,
             row = accel.locate(pt, unit)
             local = (unit - row[..., 2:5]) * row[..., 1:2]
             v = _eval_local(pt, row, local)
-        margin = v - (do + t * dd)
-        contact = active & (margin < hit_eps)
+        radius = do + t * dd
+        margin = v - radius
+        contact = active & (margin < jnp.maximum(
+            jnp.float32(hit_eps), jnp.float32(CONE_STOP_FRAC) * radius))
         adv = (STEP_SCALE * margin) * inv_lip + MIN_STEP
         escaped = active & ~contact & (t + adv > t_end)
         t_new = jnp.where(active & ~contact, t + adv, t)
         t_new = jnp.where(escaped, escape, t_new)
         return t_new, active & ~contact & ~escaped, k + 1
 
-    t, _, _ = jax.lax.while_loop(cond, body, (t, active, jnp.int32(0)))
-    return t
+    t, _, k = jax.lax.while_loop(cond, body, (t, active, jnp.int32(0)))
+    return t, k
 
 
 def cone_start(pt: PackedTree, origins, dirs, t_max, hit_eps, tiles,
-               lo=None, max_steps: int = MAX_STEPS):
+               lo=None, max_steps: int = MAX_STEPS,
+               with_stats: bool = False):
     """Per-ray conservative march starting parameters from a TxT-tile cone
     prepass. ``tiles`` = (H, W, T) with H*W == len(origins) (row-major ray
     grid); rays of each tile must be spatially coherent for the prepass to
     pay off (it is CORRECT regardless -- an incoherent tile just gets a
     huge cone that stops immediately)."""
     H, W, T = tiles
-    o4 = origins.reshape(H // T, T, W // T, T, 3)
-    d4 = dirs.reshape(H // T, T, W // T, T, 3)
-    oc = o4[:, T // 2, :, T // 2]
-    dc = d4[:, T // 2, :, T // 2]
+    # one transpose to tile-contiguous (ntiles, T*T, 3): the direct 5-D
+    # strided max-reduction lowered to ~5 ms of transposes on v5e
+    ot = origins.reshape(H // T, T, W // T, T, 3).transpose(0, 2, 1, 3, 4)
+    dt_ = dirs.reshape(H // T, T, W // T, T, 3).transpose(0, 2, 1, 3, 4)
+    ot = ot.reshape(-1, T * T, 3)
+    dt_ = dt_.reshape(-1, T * T, 3)
+    oc = ot[:, (T // 2) * T + T // 2]
+    dc = dt_[:, (T // 2) * T + T // 2]
     # ||d_f - d_c|| >= the angle between them (chord >= ... for unit dirs
     # 2 sin(th/2) <= th); using the chord directly over-bounds the spatial
     # deviation ||p_f(t) - p_c(t)|| <= do + t*dd exactly (triangle ineq.)
-    do = jnp.sqrt(jnp.max(jnp.sum(
-        (o4 - oc[:, None, :, None]) ** 2, axis=-1), axis=(1, 3)))
-    dd = jnp.sqrt(jnp.max(jnp.sum(
-        (d4 - dc[:, None, :, None]) ** 2, axis=-1), axis=(1, 3)))
-    t_stop = _cone_march(pt, lo, oc.reshape(-1, 3), dc.reshape(-1, 3),
-                         do.reshape(-1), dd.reshape(-1), t_max, hit_eps,
-                         max_steps)
+    do = jnp.sqrt(jnp.max(jnp.sum((ot - oc[:, None]) ** 2, axis=-1),
+                          axis=1))
+    dd = jnp.sqrt(jnp.max(jnp.sum((dt_ - dc[:, None]) ** 2, axis=-1),
+                          axis=1))
+    t_stop, k = _cone_march(pt, lo, oc, dc, do, dd, t_max, hit_eps,
+                            max_steps)
     t0 = jnp.broadcast_to(
         t_stop.reshape(H // T, 1, W // T, 1), (H // T, T, W // T, T))
-    return t0.reshape(-1)
+    t0 = t0.reshape(-1)
+    if with_stats:
+        return t0, k, t_stop.shape[0]
+    return t0
 
 
 # Rays per independently-terminating chunk. One monolithic while_loop runs
@@ -391,8 +416,9 @@ def _unpack_state(r):
 
 
 def _march_compacted(pt: PackedTree, origins, dirs, t_max, hit_eps,
-                     max_steps, step_cap, lo, with_stats: bool = False):
-    """Cost-sorted capped chunks + survivor compaction + uncapped tails.
+                     max_steps, step_cap, lo, t_start=None,
+                     with_stats: bool = False):
+    """Capped chunks + survivor compaction by MEASURED step rate.
 
     The round-5 march budget (experiments/march_budget.py) split the 67 ms
     headline frame into a 28 ms sort pipeline (11 ms of it an unsort
@@ -402,40 +428,78 @@ def _march_compacted(pt: PackedTree, origins, dirs, t_max, hit_eps,
     own grazing silhouette rays (round distribution p50 4 / p90 13 /
     max 178). This schedule bounds that waste:
 
-      1. cost-sort ray blocks by |f| at the root-entry point (_march_key,
-         unchanged -- an activity-only tail order re-couples grazing lanes
-         with near-finished ones and collapses to the unsorted march's
-         4.8-6.3 Mrays/s, measured round 5);
+      1. order ray blocks: with a cone prepass (``t_start``), actives pack
+         to the front with a FREE binary liveness key (no field eval --
+         the cone already classified the rays); without one, cost-sort by
+         |f| at entry (_march_key);
       2. pass 1: chunked march capped at PASS1_CAP relocation rounds per
          phase -- cheap chunks terminate normally, expensive ones suspend
          with their full per-lane state (pending Keinert rollback data
          included, so the no-skipped-crossing guarantee survives);
-      3. still-active blocks compact to the front (binary key, stable
-         sort: survivors KEEP their cost order) and finish in uncapped
-         chunks; finished chunks exit at the first cond check;
-      4. one composed unsort returns (t, hit) to ray order.
+      3. surviving blocks compact to the front ordered by MEASURED step
+         rate (t advanced per executed step): any static cost proxy
+         degenerates once every survivor sits near the surface (cone
+         starts make |f|-at-start keys all ~theta*t, and the resulting
+         mixed chunks collapsed to 8.9 Mrays/s, round-5 probe) -- grazing
+         creepers march ~2e-3/step while soon-to-resolve lanes move 10x
+         faster, so the realized rate separates them;
+      4. uncapped tails; finished chunks exit at the first cond check;
+      5. one composed unsort returns (t, hit) to ray order.
 
     origins/dirs must already be padded to a MARCH_CHUNK multiple."""
     B = origins.shape[0]
     S = SORT_BLOCK
     nb = B // S
     chunk_nb = MARCH_CHUNK // S
-    origins, dirs, _, perm1 = _sorted_blocks(pt, origins, dirs)
+    half = 0.5 * jnp.asarray(pt.root_sizes, jnp.float32)
+    rc = jnp.asarray(pt.root_centre, jnp.float32)
+    if t_start is None:
+        origins, dirs, t_start_s, perm1 = _sorted_blocks(pt, origins, dirs)
+    else:
+        # free liveness key: the cone already decided who marches
+        t_near, t_far, hits_box = intersect_aabb(origins, dirs, rc - half,
+                                                 rc + half)
+        alive = hits_box & (jnp.maximum(jnp.maximum(t_near, 0.0), t_start)
+                            <= jnp.minimum(t_far, t_max))
+        blk = jnp.any(alive.reshape(nb, S), axis=1)
+        key1 = jnp.where(blk, jnp.uint16(0), jnp.uint16(1))
+        perm1 = jax.lax.sort_key_val(
+            key1, jnp.arange(nb, dtype=jnp.int32))[1]
+        rows1 = jnp.concatenate(
+            [origins.reshape(nb, 3 * S), dirs.reshape(nb, 3 * S),
+             t_start.reshape(nb, S)], axis=1)
+        rows1 = jax.lax.optimization_barrier(rows1[perm1])
+        origins = rows1[:, : 3 * S].reshape(-1, 3)
+        dirs = rows1[:, 3 * S: 6 * S].reshape(-1, 3)
+        t_start_s = rows1[:, 6 * S:].reshape(-1)
 
     cap = (PASS1_CAP, PASS1_CAP)
 
     def run1(od):
+        ts = None if t_start_s is None else od[2]
         return _march_block(pt, od[0], od[1], t_max, hit_eps, max_steps,
                             step_cap, lo=lo, outer_cap=cap,
-                            return_state=True)
+                            return_state=True, t_start=ts)
 
-    _, _, kk1, st = jax.lax.map(        # t/hit travel inside the state
-        run1, (origins.reshape(-1, MARCH_CHUNK, 3),
-               dirs.reshape(-1, MARCH_CHUNK, 3)))
+    args1 = (origins.reshape(-1, MARCH_CHUNK, 3),
+             dirs.reshape(-1, MARCH_CHUNK, 3))
+    if t_start_s is not None:
+        args1 = args1 + (t_start_s.reshape(-1, MARCH_CHUNK),)
+    _, _, kk1, st = jax.lax.map(run1, args1)   # t/hit travel in the state
     t, hit, p1, p2, nsteps, relax, adv, vp = (x.reshape(-1) for x in st)
     active = p1 | p2
     blk_active = jnp.any(active.reshape(nb, S), axis=1)
-    key = jnp.where(blk_active, jnp.uint16(0), jnp.uint16(1))
+    # measured step rate as the tail cost key (docstring point 3)
+    t_near, _, _ = intersect_aabb(origins, dirs, rc - half, rc + half)
+    t0 = jnp.maximum(t_near, 0.0)
+    if t_start_s is not None:
+        t0 = jnp.maximum(t0, t_start_s)
+    rate = (t - t0) / jnp.maximum(nsteps.astype(jnp.float32), 1.0)
+    blk_rate = jnp.where(active, rate, jnp.inf).reshape(nb, S).min(axis=1)
+    key = jnp.where(blk_active,
+                    jnp.clip(blk_rate * 16384.0, 0.0,
+                             65533.0).astype(jnp.uint16),
+                    jnp.uint16(65535))
     perm2 = jax.lax.sort_key_val(key, jnp.arange(nb, dtype=jnp.int32))[1]
     rows = _pack_state(origins, dirs, t, hit, p1, p2, nsteps, relax, adv,
                        vp, nb)
@@ -465,7 +529,8 @@ def _march_compacted(pt: PackedTree, origins, dirs, t_max, hit_eps,
 
 
 def _march(pt: PackedTree, origins, dirs, t_max, hit_eps, max_steps,
-           step_cap=None, sort_rays=None, cone_tiles=None):
+           step_cap=None, sort_rays=None, cone_tiles=None,
+           use_lod: bool = True):
     """Chunked two-level march over a ray batch; all f32.
 
     ``step_cap`` bounds the per-step advance. Sphere tracing assumes f is
@@ -488,7 +553,7 @@ def _march(pt: PackedTree, origins, dirs, t_max, hit_eps, max_steps,
     across schedules (lanes only share termination, never arithmetic).
     """
     B = origins.shape[0]
-    lo = _lo_of(pt)
+    lo = _lo_of(pt) if use_lod else None
     t_start = None
     if cone_tiles is not None:
         t_start = cone_start(pt, origins, dirs, t_max, hit_eps, cone_tiles,
@@ -512,9 +577,14 @@ def _march(pt: PackedTree, origins, dirs, t_max, hit_eps, max_steps,
         if t_start is not None:
             t_start = jnp.concatenate(
                 [t_start, jnp.zeros(pad, jnp.float32)])
-    if sort_rays == "compact":
+    if sort_rays == "compact" or (t_start is not None
+                                  and sort_rays is None):
+        # the cone prepass composes with the compaction schedule: liveness
+        # ordering is free and the capped pass + step-rate recompaction
+        # bound the tail divergence the cone would otherwise expose
         t, hit, steps = _march_compacted(pt, origins, dirs, t_max, hit_eps,
-                                         max_steps, step_cap, lo)
+                                         max_steps, step_cap, lo,
+                                         t_start=t_start)
         return t[:B], hit[:B], steps
     perm = None
     if sort_rays is None or sort_rays is True:
