@@ -167,16 +167,22 @@ def trace_roofline(packed, device, width, height, secs_per_frame):
     lo = _lo_of(packed)
     lo_w = LO_W if lo is not None else packed.width
 
+    use_cone = lo is None              # mirror _march's schedule policy
+
     @jax.jit
     def rounds(o, d):
-        ts, k_cone, n_coarse = cone_start(
-            packed, o, d, T_MAX, 1e-4, (height, width, CONE_TILE), lo=lo,
-            with_stats=True)
+        if use_cone:
+            ts, k_cone, n_coarse = cone_start(
+                packed, o, d, T_MAX, 1e-4, (height, width, CONE_TILE),
+                lo=lo, with_stats=True)
+        else:
+            ts, k_cone, n_coarse = None, jnp.int32(0), 0
         o2 = jnp.concatenate([o, jnp.full((pad, 3), 10.0, jnp.float32)])
         d2 = jnp.concatenate(
             [d, jnp.tile(jnp.asarray([[0., 0., 1.]], jnp.float32),
                          (pad, 1))])
-        ts2 = jnp.concatenate([ts, jnp.zeros(pad, jnp.float32)])
+        ts2 = (jnp.concatenate([ts, jnp.zeros(pad, jnp.float32)])
+               if ts is not None else None)
         _, _, _, aux = _march_compacted(packed, o2, d2, jnp.float32(T_MAX),
                                         1e-4, 200, None, lo, t_start=ts2,
                                         with_stats=True)

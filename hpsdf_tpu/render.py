@@ -544,16 +544,27 @@ def _march(pt: PackedTree, origins, dirs, t_max, hit_eps, max_steps,
     tile's cone contact (or skip it when the cone escapes). Requires the
     ray batch to be a row-major H x W grid.
 
-    Multi-chunk batches default to cost-sorted chunks (``sort_rays=None``
-    == ``True``); ``False`` selects plain raster chunks and
-    ``"compact"`` the capped-pass + survivor-compaction schedule (kept for
-    the record: it measured 17.9 Mrays/s vs the cost-sorted 18.9 on the
-    round-5 headline -- the recompaction's sort/permute ops cost more than
-    the frozen-lane gathers they save). Per-ray results are identical
-    across schedules (lanes only share termination, never arithmetic).
+    Schedule selection (``sort_rays=None``) follows the measured v5e
+    matrix (round 5, 1024^2, Mrays/s):
+
+                              headline (no LOD)   refdefault (LOD)
+      legacy cost-sort               18.9               3.7
+      compact (step-rate tail)       17.7               5.4
+      compact + cone tile 8          22.1               3.9
+      legacy + cone                   --                1.9
+
+    so: LOD trees -> compact without cone (the cone forces every
+    surviving lane straight into the wide-row full phase, forfeiting the
+    cheap LOD approach that the compact schedule exploits); no-LOD trees
+    -> compact + cone when ``cone_tiles`` is available, legacy cost-sort
+    otherwise. Explicit ``sort_rays`` (True / False / "compact")
+    overrides. Per-ray results are identical across schedules (lanes only
+    share termination, never arithmetic).
     """
     B = origins.shape[0]
     lo = _lo_of(pt) if use_lod else None
+    if cone_tiles is not None and lo is not None and sort_rays is None:
+        cone_tiles = None          # measured regression on LOD trees (above)
     t_start = None
     if cone_tiles is not None:
         t_start = cone_start(pt, origins, dirs, t_max, hit_eps, cone_tiles,
@@ -577,8 +588,9 @@ def _march(pt: PackedTree, origins, dirs, t_max, hit_eps, max_steps,
         if t_start is not None:
             t_start = jnp.concatenate(
                 [t_start, jnp.zeros(pad, jnp.float32)])
-    if sort_rays == "compact" or (t_start is not None
-                                  and sort_rays is None):
+    if sort_rays == "compact" or (sort_rays is None
+                                  and (t_start is not None
+                                       or lo is not None)):
         # the cone prepass composes with the compaction schedule: liveness
         # ordering is free and the capped pass + step-rate recompaction
         # bound the tail divergence the cone would otherwise expose
