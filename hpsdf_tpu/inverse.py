@@ -48,7 +48,7 @@ def fit_to_depth(tree: Octree, origins, dirs, target_t, target_hit,
                  eikonal_weight: float = 0.1,
                  ray_chunk: int = 1 << 16,
                  param_space: str = "folded",
-                 lr_warmup: int = 0,
+                 lr_warmup: int = 5,
                  mesh=None) -> InverseResult:
     """Gradient-descent the tree's coefficients so its sphere-traced depths
     match ``target_t`` on ``target_hit`` rays (Adam, jitted lax.scan).
@@ -151,21 +151,21 @@ def fit_to_depth(tree: Octree, origins, dirs, target_t, target_hit,
         support = jax.device_put(support, rep)
         target_hit = jax.device_put(target_hit, rep)
 
-    # NOTE: no lr warmup. A linear ramp over the first ~10% of steps was
-    # tried (round 2) on the theory that Adam's v-hat-normalized first
-    # updates wreck the small high-order coefficients; measured on the
-    # sphere-recovery task it does the opposite -- the loss spikes ~100x
-    # mid-ramp and oscillates for the rest of the run (median depth error
-    # 0.023 vs 0.003 without it). Plain Adam is the measured winner.
+    # lr WARMUP NOTE (history): a linear ramp measured terrible in round
+    # 2 -- but that was in RAW coefficient space, where Adam's sign-like
+    # early steps get amplified by the eq-(4) normalizers regardless of
+    # ramp. Re-measured in FOLDED space (round 5, experiments/
+    # inverse_spike.py, 512^2 sphere recovery): the step-1 Adam transient
+    # (bias-corrected update = lr*sign(g) elementwise, all ~400k
+    # coefficients kicked by the full lr at once) spikes the loss 12.8x
+    # and costs final accuracy; a 5-step linear ramp cuts the spike to
+    # 1.38x and HALVES the final depth RMSE (0.0129 -> 0.0061, vs 0.0073
+    # for lr/2 and 0.0086 for 3x more steps). Warmup is the measured
+    # winner in folded space and the default.
     if param_space not in ("folded", "raw"):
         raise ValueError(f"param_space must be 'folded' or 'raw', "
                          f"got {param_space!r}")
     folded_space = param_space == "folded"
-    # ``lr_warmup`` > 0 ramps the lr linearly over that many steps -- kept
-    # as an experiment knob for the step-1 Adam transient (at step 1 the
-    # bias-corrected update is lr*sign(g) elementwise, which perturbs every
-    # coefficient by the full lr at once; see experiments/inverse_spike.py
-    # for the measurements). Default off: see the no-warmup NOTE above.
     if lr_warmup > 0:
         sched = lambda count: lr * jnp.minimum(  # noqa: E731
             1.0, (count.astype(jnp.float32) + 1.0) / lr_warmup)
