@@ -356,17 +356,53 @@ def assemble_face_matrix(tree: Octree):
 # CG solve (device)
 # --------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("n", "max_iter"))
-def _cg_solve(rows, cols, vals, s, diag, b, x0, n: int, tol, max_iter: int):
+# COO entries per chunk of the sorted-segment matvec (_cg_solve
+# sorted_rows=True): bounds the matvec workspace at any nnz. Module-level
+# so tests can shrink it to exercise the chunked path at small scale.
+COO_CHUNK = 1 << 23
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n", "max_iter", "sorted_rows"))
+def _cg_solve(rows, cols, vals, s, diag, b, x0, n: int, tol, max_iter: int,
+              sorted_rows: bool = False):
     """Jacobi-preconditioned CG on (M + sI) x = b, M in COO form.
 
     Matvec = gather * vals -> segment_sum + s*x: the TPU-native replacement
     for Eigen's sparse CG + IncompleteCholesky (Octree.cpp:1749-1755).
-    """
 
-    def matvec(x):
-        return jax.ops.segment_sum(vals * x[cols], rows,
-                                   num_segments=n) + s * x
+    ``sorted_rows``: entries are pre-sorted by row -- the segment sum
+    lowers to a sorted-segment reduction instead of a random scatter-add,
+    and the matvec runs CHUNKED over the entries (a lax.scan accumulating
+    full-length partials) so its workspace stays bounded at any nnz. The
+    62M-nnz continuity-scale row killed the TPU worker through the
+    monolithic scatter path in rounds 4 and 5; nnz must then be a multiple
+    of the chunk count implied here (callers pad with row=0/val=0)."""
+    if sorted_rows and rows.shape[0] > COO_CHUNK:
+        nc = -(-rows.shape[0] // COO_CHUNK)
+        rows_c = rows.reshape(nc, -1)
+        cols_c = cols.reshape(nc, -1)
+        vals_c = vals.reshape(nc, -1)
+
+        def matvec(x):
+            def body(acc, rcv):
+                r_, c_, v_ = rcv
+                # each chunk is a contiguous slice of the row-sorted
+                # entries, so its own indices are sorted too; rows spanning
+                # a chunk boundary simply accumulate from both chunks
+                return acc + jax.ops.segment_sum(
+                    v_ * x[c_], r_, num_segments=n,
+                    indices_are_sorted=True), None
+            out, _ = jax.lax.scan(body, jnp.zeros_like(x),
+                                  (rows_c, cols_c, vals_c))
+            return out + s * x
+    else:
+
+        def matvec(x):
+            return jax.ops.segment_sum(vals * x[cols], rows,
+                                       num_segments=n,
+                                       indices_are_sorted=sorted_rows) \
+                + s * x
 
     minv = 1.0 / diag
     x = x0
@@ -417,8 +453,21 @@ def _cg_solve_mixed(R, C, V, s, diag, b, x0, n: int, tol, max_iter: int,
     """
     # i32 indices: n_coeffs is far below 2^31 and the i64 COO index pair
     # alone is ~1 GB at the 62M-nnz 260k-leaf scale -- halving it bounds
-    # the device footprint of the f32 iteration arrays (round-4 verdict
-    # item 4: the suite's TPU worker died at the end of this row)
+    # the device footprint of the f32 iteration arrays. Entries are
+    # row-sorted on host so the device matvec runs as chunked
+    # sorted-segment reductions instead of one 62M-element scatter-add
+    # (the scatter path crashed the TPU worker in rounds 4 AND 5 at this
+    # scale; _cg_solve sorted_rows docstring).
+    order = np.argsort(R, kind="stable")
+    R, C, V = R[order], C[order], V[order]
+    if R.size > COO_CHUNK:
+        pad = (-R.size) % COO_CHUNK
+        if pad:
+            # padding repeats the LAST row (keeps the sorted order the
+            # chunked matvec asserts) with val 0: contributes nothing
+            R = np.concatenate([R, np.full(pad, R[-1], R.dtype)])
+            C = np.concatenate([C, np.zeros(pad, C.dtype)])
+            V = np.concatenate([V, np.zeros(pad, V.dtype)])
     Rj, Cj = jnp.asarray(R, jnp.int32), jnp.asarray(C, jnp.int32)
     V32 = jnp.asarray(V, jnp.float32)
     d32 = jnp.asarray(diag, jnp.float32)
@@ -445,7 +494,7 @@ def _cg_solve_mixed(R, C, V, s, diag, b, x0, n: int, tol, max_iter: int,
         dx, k, _ = _cg_solve(
             Rj, Cj, V32, s, d32, jnp.asarray(r / scale, jnp.float32),
             jnp.zeros(n, jnp.float32), n=n, tol=consts.EPSILON_F32,
-            max_iter=min(max_iter, 800))
+            max_iter=min(max_iter, 800), sorted_rows=True)
         x = x + scale * np.asarray(dx, np.float64)
         iters += int(k)
     return x, iters, resid
