@@ -560,9 +560,24 @@ def run_suite():
              "default gd=5 pack -- measures the table-size vs row-count "
              "trade on the reference-default tree")
 
-    # --- continuity at scale: 260k leaves (round-3 verdict item 7) --------
+    # (the 260k-leaf continuity row runs as its OWN process --
+    # `python bench.py --contscale`, which APPENDS to BENCH_SUITE.json:
+    # in-suite, the row's mixed CG killed the TPU worker in rounds 4 and 5
+    # even after the matvec was chunked, while the identical computation
+    # survives in a fresh process -- the trigger is the suite's ~1.5 GB of
+    # accumulated device residency ahead of the CG's ~0.8 GB COO upload)
+
+    with open("BENCH_SUITE.json", "w") as fh:
+        json.dump(results, fh, indent=1)
+    return results
+
+
+def run_contscale():
+    """Continuity at 260k leaves (round-3 verdict item 7 / round-4 item 4)
+    as a standalone process; appends its row to BENCH_SUITE.json."""
     import hpsdf_tpu.continuity as cont
 
+    fit_dev = _dev().platform if _is_accel() else "cpu"
     cfg_s = _fit_cfg(target_error=3e-9, continuity=False, max_depth=7,
                      max_degree=2, node_capacity=1_000_000,
                      nearness_weighting=hp.NearnessWeighting.NONE)
@@ -574,20 +589,34 @@ def run_suite():
     import dataclasses as _dc
     tree_sc = _dc.replace(
         tree_s, config=_dc.replace(tree_s.config, continuity=True,
-                                   continuity_strength=8.0))
+                                   continuity_strength=8.0,
+                                   enable_logging=True))
     cont.enforce_continuity(tree_sc)
     t_total = time.perf_counter() - t0
-    rec("continuity_scale_260k_leaves", t_total, "s",
-        f"{fit_dev}(CG)+cpu(assembly)", leaves=int(tree_s.num_leaves()),
-        face_pairs_and_assembly_s=round(t_asm, 2), nnz=int(R_.size),
-        n_coeffs=int(stv.n_coeffs),
-        note="enforce_continuity wall includes its own assembly + the "
-             "mixed-precision CG; the separate assembly timing isolates "
-             "the host-side enumeration+emission phase")
-
+    row = {"metric": "continuity_scale_260k_leaves",
+           "value": round(t_total, 4), "unit": "s",
+           "device": f"{fit_dev}(CG)+cpu(assembly)",
+           "leaves": int(tree_s.num_leaves()),
+           "face_pairs_and_assembly_s": round(t_asm, 2),
+           "nnz": int(R_.size), "n_coeffs": int(stv.n_coeffs),
+           "note": "standalone process (appended to the suite): the "
+                   "in-suite run crashed the TPU worker in rounds 4 and 5 "
+                   "under ~1.5 GB of accumulated device residency; the "
+                   "identical CG (row-sorted chunked segment-sum matvec, "
+                   "i32 indices) survives fresh. Wall includes assembly + "
+                   "the mixed-precision CG; the separate assembly timing "
+                   "isolates the host-side enumeration+emission phase"}
+    print(json.dumps(row))
+    try:
+        with open("BENCH_SUITE.json") as fh:
+            rows = [r for r in json.load(fh)
+                    if r.get("metric") != "continuity_scale_260k_leaves"]
+    except Exception:
+        rows = []
+    rows.append(row)
     with open("BENCH_SUITE.json", "w") as fh:
-        json.dump(results, fh, indent=1)
-    return results
+        json.dump(rows, fh, indent=1)
+    return row
 
 
 def run_nodeshard():
@@ -853,5 +882,7 @@ if __name__ == "__main__":
         run_inverse_1080p()
     elif "--nodeshard" in sys.argv:
         run_nodeshard()
+    elif "--contscale" in sys.argv:
+        run_contscale()
     else:
         main()

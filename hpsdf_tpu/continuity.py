@@ -490,13 +490,29 @@ def _cg_solve_mixed(R, C, V, s, diag, b, x0, n: int, tol, max_iter: int,
         # relative residual (f32 rounding floor); rather than burning
         # max_iter iterations against the floor, cap each round and let
         # the outer refinement (which measures the TRUE f64 residual)
-        # decide whether another round is needed
-        dx, k, _ = _cg_solve(
-            Rj, Cj, V32, s, d32, jnp.asarray(r / scale, jnp.float32),
-            jnp.zeros(n, jnp.float32), n=n, tol=consts.EPSILON_F32,
-            max_iter=min(max_iter, 800), sorted_rows=True)
+        # decide whether another round is needed.
+        # SEGMENTED execution: one CG program running hundreds of
+        # iterations over a 62M-entry system executes for minutes, and the
+        # TPU worker kills such programs ("worker crashed or restarted" --
+        # rounds 4 and 5, reproduced in a fresh process, independent of
+        # matvec shape). Each segment is a short program; segments warm-
+        # restart from the previous iterate (restarted CG converges the
+        # same, a few extra iterations).
+        budget = min(max_iter, 800)
+        seg = 50 if Rj.size > COO_CHUNK else budget
+        dx = jnp.zeros(n, jnp.float32)
+        b_seg = jnp.asarray(r / scale, jnp.float32)
+        used = 0
+        while used < budget:
+            req = min(seg, budget - used)
+            dx, k, _ = _cg_solve(
+                Rj, Cj, V32, s, d32, b_seg, dx, n=n,
+                tol=consts.EPSILON_F32, max_iter=req, sorted_rows=True)
+            used += int(k)
+            if int(k) < req:
+                break              # converged/stalled inside the segment
         x = x + scale * np.asarray(dx, np.float64)
-        iters += int(k)
+        iters += used
     return x, iters, resid
 
 
