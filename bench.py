@@ -599,13 +599,17 @@ def run_contscale():
            "leaves": int(tree_s.num_leaves()),
            "face_pairs_and_assembly_s": round(t_asm, 2),
            "nnz": int(R_.size), "n_coeffs": int(stv.n_coeffs),
-           "note": "standalone process (appended to the suite): the "
-                   "in-suite run crashed the TPU worker in rounds 4 and 5 "
-                   "under ~1.5 GB of accumulated device residency; the "
-                   "identical CG (row-sorted chunked segment-sum matvec, "
-                   "i32 indices) survives fresh. Wall includes assembly + "
-                   "the mixed-precision CG; the separate assembly timing "
-                   "isolates the host-side enumeration+emission phase"}
+           "note": "standalone process (appended to the suite). Root "
+                   "cause of the round-4/5 crashes at this row: a single "
+                   "CG program running hundreds of iterations over the "
+                   "62M-entry system executes for minutes and the TPU "
+                   "worker kills it (reproduced in a fresh process; "
+                   "independent of matvec shape or device residency). "
+                   "The mixed CG now runs 50-iteration warm-restarted "
+                   "segments (continuity._cg_solve_mixed) and completes. "
+                   "Wall includes assembly + the mixed-precision CG; the "
+                   "separate assembly timing isolates the host-side "
+                   "enumeration+emission phase"}
     print(json.dumps(row))
     try:
         with open("BENCH_SUITE.json") as fh:

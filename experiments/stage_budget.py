@@ -50,7 +50,8 @@ B = o.shape[0]
 S = SORT_BLOCK
 nb = B // S
 chunk_nb = MARCH_CHUNK // S
-cap_v = render.PASS1_CAP_LOD if lo is not None else render.PASS1_CAP
+cap_v = (render.PASS1_CAP_DEEP if (lo is not None and pt.extra_rounds > 0)
+         else render.PASS1_CAP)
 cap = (cap_v, cap_v)
 print(f"tree: nodes={tree.n_nodes} deg={tree.deg_used} width={pt.width} "
       f"gd={pt.grid_depth} extra={pt.extra_rounds} "

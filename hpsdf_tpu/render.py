@@ -388,10 +388,13 @@ def _unsort_blocks(perm, t, hit):
 # slowest grazing ray terminates -- measured occupancy 0.45 uncapped); the
 # recompaction packs the few surviving silhouette lanes densely. Swept on
 # v5e 1024^2 (round 5): no-LOD headline 8/16/24/32 -> 17.5/22.2/20.3/19.2
-# Mrays/s; LOD refdefault 4/6/8/10/12/16/24 -> 4.5/5.6/6.1/6.0/5.8/5.2/4.6
-# (each LOD round runs 3 inner evals, so the equivalent-work cap is lower).
+# Mrays/s; refdefault 4/6/8/10/12/16/24 -> 4.5/5.6/6.1/6.0/5.8/5.2/4.6.
+# The discriminator is PER-ROUND COST, not LOD: refdefault pays 2 gathers
+# per relocation (extra_rounds=1 below its grid) + 3 inner evals, so a
+# smaller round budget before compaction pays; the wide-row tree (LOD on
+# but extra_rounds=0) measured 7.4 at cap 16 vs 5.9 at cap 8.
 PASS1_CAP = 16
-PASS1_CAP_LOD = 8
+PASS1_CAP_DEEP = 8
 _STATE_F = 14            # packed state lanes per ray: o3 d3 t hit p1 p2
 #                          nsteps relax adv vp
 
@@ -476,7 +479,8 @@ def _march_compacted(pt: PackedTree, origins, dirs, t_max, hit_eps,
         dirs = rows1[:, 3 * S: 6 * S].reshape(-1, 3)
         t_start_s = rows1[:, 6 * S:].reshape(-1)
 
-    cap_v = PASS1_CAP_LOD if lo is not None else PASS1_CAP
+    cap_v = (PASS1_CAP_DEEP if (lo is not None and pt.extra_rounds > 0)
+             else PASS1_CAP)
     cap = (cap_v, cap_v)
 
     def run1(od):
